@@ -1,0 +1,22 @@
+"""lasso-tpu: a TPU-native Lasso lookup-argument framework (JAX/XLA/Pallas).
+
+See README.md and SURVEY.md for the architecture map against the a16z/Lasso
+reference.
+"""
+
+import os
+
+import jax
+
+# Persistent XLA compilation cache: the limb/curve kernels compile once per
+# (shape, config) and are reused across processes, proofs and benches.
+_cache_dir = os.environ.get(
+    "LASSO_TPU_XLA_CACHE", os.path.expanduser("~/.cache/lasso_tpu_xla"))
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:  # pragma: no cover - older jax without these flags
+    pass
+
+__version__ = "0.1.0"

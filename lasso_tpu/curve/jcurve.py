@@ -1,0 +1,164 @@
+"""Batched twisted Edwards curve ops on TPU.
+
+Points are tensors [..., 4, 16]: extended coordinates (X, Y, Z, T) over the
+base field, each coordinate 16 Montgomery limbs (see field/jfield.py).
+
+Because a is a QR and d a non-QR for ark-curve25519, the unified hwcd
+addition law is *complete*: P+P, P+identity and P+(-P) all flow through the
+same formula.  That is the property that makes branch-free, fully vectorized
+bucket accumulation possible on the TPU -- no exceptional-case handling in
+kernels, masking with the identity point is always safe.
+
+Group-op structure: the ~10 field muls of an addition are packed into 3
+stacked mul kernel invocations (batch axes are free for the limb kernels),
+minimizing dispatch overhead and maximizing VPU occupancy.
+
+Replaces arkworks `ark-ec` group ops (reference L0) for the TPU compute path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lasso_tpu.curve import host as hostcurve
+from lasso_tpu.field import constants as K
+from lasso_tpu.field.host import Fp as HostFp
+from lasso_tpu.field.jfield import JFp, W
+
+_fadd = JFp.add
+_fsub = JFp.sub
+_fmul = JFp.mul
+
+# curve constants in Montgomery form (numpy: baked into jit graphs)
+_A_M = np.asarray(jax.device_get(JFp.encode_scalar(K.CURVE_A)))
+_D_M = np.asarray(jax.device_get(JFp.encode_scalar(K.CURVE_D)))
+_ONE_M = np.asarray(JFp.mont_one)
+_ZERO = np.zeros(W, dtype=np.uint32)
+
+IDENTITY = np.stack([_ZERO, _ONE_M, _ONE_M, _ZERO])  # [4, W]
+
+
+def identity(shape=()) -> jnp.ndarray:
+    if isinstance(shape, int):
+        shape = (shape,)
+    return jnp.broadcast_to(jnp.asarray(IDENTITY), tuple(shape) + (4, W))
+
+
+def _coords(p):
+    return p[..., 0, :], p[..., 1, :], p[..., 2, :], p[..., 3, :]
+
+
+def padd(p, q):
+    """Unified extended twisted Edwards addition (add-2008-hwcd), complete."""
+    shape = jnp.broadcast_shapes(p.shape, q.shape)
+    p = jnp.broadcast_to(p, shape)
+    q = jnp.broadcast_to(q, shape)
+    x1, y1, z1, t1 = _coords(p)
+    x2, y2, z2, t2 = _coords(q)
+
+    s1 = _fadd(x1, y1)
+    s2 = _fadd(x2, y2)
+    u = _fmul(jnp.stack([x1, y1, t1, s1]), jnp.stack([x2, y2, t2, s2]))
+    a_, b_, tt, s = u[0], u[1], u[2], u[3]
+
+    consts = jnp.stack([
+        jnp.broadcast_to(jnp.asarray(_D_M), tt.shape),
+        jnp.broadcast_to(jnp.asarray(_A_M), a_.shape),
+        z2,
+    ])
+    v = _fmul(jnp.stack([tt, a_, z1]), consts)
+    c_, a_a, d_ = v[0], v[1], v[2]
+
+    e = _fsub(_fsub(s, a_), b_)
+    f = _fsub(d_, c_)
+    g = _fadd(d_, c_)
+    h = _fsub(b_, a_a)
+
+    w = _fmul(jnp.stack([e, g, f, e]), jnp.stack([f, h, g, h]))
+    return jnp.stack([w[0], w[1], w[2], w[3]], axis=-2)
+
+
+def pdbl(p):
+    """Dedicated doubling (dbl-2008-hwcd)."""
+    x1, y1, z1, _ = _coords(p)
+    s1 = _fadd(x1, y1)
+    u = _fmul(jnp.stack([x1, y1, z1, s1]), jnp.stack([x1, y1, z1, s1]))
+    a_, b_, zz, s2 = u[0], u[1], u[2], u[3]
+    a_a = _fmul(a_, jnp.asarray(_A_M))
+    c_ = _fadd(zz, zz)
+    e = _fsub(_fsub(s2, a_), b_)
+    g = _fadd(a_a, b_)
+    f = _fsub(g, c_)
+    h = _fsub(a_a, b_)
+    w = _fmul(jnp.stack([e, g, f, e]), jnp.stack([f, h, g, h]))
+    return jnp.stack([w[0], w[1], w[2], w[3]], axis=-2)
+
+
+def pneg(p):
+    x, y, z, t = _coords(p)
+    return jnp.stack([JFp.neg(x), y, z, JFp.neg(t)], axis=-2)
+
+
+def pselect(mask, p, q):
+    """mask [...] bool -> p where true else q."""
+    return jnp.where(mask[..., None, None], p, q)
+
+
+padd_jit = jax.jit(padd)
+pdbl_jit = jax.jit(pdbl)
+
+
+def tree_sum(points) -> jnp.ndarray:
+    """Sum points along axis 0: [n, ..., 4, W] -> [..., 4, W] (log n adds)."""
+    n = points.shape[0]
+    if n == 0:
+        return identity(points.shape[1:-2])
+    pow2 = 1 << (n - 1).bit_length()
+    if pow2 != n:
+        pad = identity((pow2 - n,) + points.shape[1:-2])
+        points = jnp.concatenate([points, pad], axis=0)
+    return _tree_sum_jit(points)
+
+
+@jax.jit
+def _tree_sum_jit(points):
+    n = points.shape[0]
+    while n > 1:
+        half = n // 2
+        points = padd(points[:half], points[half:n])
+        n = half
+    return points[0]
+
+
+# ---------------------------------------------------------------------------
+# host <-> device conversion
+# ---------------------------------------------------------------------------
+
+def from_host_points(points: list[hostcurve.Point]) -> jnp.ndarray:
+    """Host points -> [n, 4, W] device tensor (normalized to Z=1 first so the
+    encode is cheap and T = X*Y)."""
+    n = len(points)
+    zinvs = HostFp.batch_inv([p.z for p in points])
+    rows = []
+    for p, zi in zip(points, zinvs):
+        x = p.x * zi % HostFp.p
+        y = p.y * zi % HostFp.p
+        rows.append((x, y, 1, x * y % HostFp.p))
+    flat = [c for row in rows for c in row]
+    enc = JFp.encode_ints(flat)  # [4n, W]
+    return enc.reshape(n, 4, W)
+
+
+def to_host_points(arr) -> list[hostcurve.Point]:
+    flat = arr.reshape(-1, W)
+    vals = JFp.decode(flat)
+    out = []
+    for i in range(0, len(vals), 4):
+        out.append(hostcurve.Point(vals[i], vals[i + 1], vals[i + 2], vals[i + 3]))
+    return out
+
+
+def to_host_point(arr) -> hostcurve.Point:
+    return to_host_points(arr.reshape(1, 4, W))[0]

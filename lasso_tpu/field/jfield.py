@@ -1,0 +1,266 @@
+"""Batched prime-field arithmetic on TPU (JAX/XLA).
+
+Field elements are tensors of 16 little-endian 16-bit limbs held in uint32
+lanes, in Montgomery form (value * 2^256 mod p).  This layout is chosen for
+the TPU's 32-bit vector unit:
+
+  * limb product  a_i * b_j < 2^32  -- exact in uint32, no 64-bit emulation
+  * 32 partial products accumulate per column without overflow (< 2^21)
+  * Montgomery REDC is 16 unrolled vector steps; carries are short chains
+
+Every op is elementwise over an arbitrary batch shape [..., 16], so polynomial
+folds, eq-table builds, fingerprint constructions, and curve formulas all
+become big vectorized expressions XLA can fuse.  Reductions (sumcheck claims)
+use pairwise modular tree-adds, which shard cleanly over a device mesh: local
+tree -> psum of 16-limb partials -> one carry pass.
+
+Replaces arkworks `ark-ff` (reference L0) for the TPU compute path; the exact
+host oracle lives in field/host.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lasso_tpu.field import constants as K
+from lasso_tpu.field.host import Fp as HostFp
+from lasso_tpu.field.host import Fr as HostFr
+from lasso_tpu.field.host import HostField
+
+W = K.NUM_LIMBS  # 16 limbs
+B = K.LIMB_BITS  # 16 bits
+MASK = K.LIMB_MASK
+
+
+# ---------------------------------------------------------------------------
+# packing helpers (host <-> limb tensors)
+# ---------------------------------------------------------------------------
+
+def pack_int(x: int) -> np.ndarray:
+    return np.array(K.limbs_of(x), dtype=np.uint32)
+
+def pack_ints(xs) -> np.ndarray:
+    out = np.empty((len(xs), W), dtype=np.uint32)
+    for i, x in enumerate(xs):
+        v = int(x)
+        for j in range(W):
+            out[i, j] = (v >> (B * j)) & MASK
+    return out
+
+def pack_u64_array(xs: np.ndarray) -> np.ndarray:
+    """Vectorized packing of uint64 values into [n, 16] limb tensors."""
+    xs = np.asarray(xs, dtype=np.uint64)
+    out = np.zeros(xs.shape + (W,), dtype=np.uint32)
+    for j in range(4):
+        out[..., j] = (xs >> np.uint64(B * j)).astype(np.uint32) & MASK
+    return out
+
+def unpack_ints(arr) -> list[int]:
+    arr = np.asarray(jax.device_get(arr), dtype=np.uint64)
+    flat = arr.reshape(-1, W)
+    shifts = np.uint64(B) * np.arange(W, dtype=np.uint64)
+    vals = []
+    for row in flat:
+        vals.append(int(sum(int(v) << int(s) for v, s in zip(row, shifts))))
+    return vals
+
+
+# ---------------------------------------------------------------------------
+# limb kernels (field-generic; modulus baked in as compile-time constants)
+# ---------------------------------------------------------------------------
+
+def _carry_prop_u32(x):
+    """Propagate carries of lazy uint32 limbs; total value must be < 2^(16W)."""
+    c = jnp.zeros_like(x[..., 0])
+    outs = []
+    for j in range(x.shape[-1]):
+        v = x[..., j] + c
+        outs.append(v & MASK)
+        c = v >> B
+    return jnp.stack(outs, axis=-1)
+
+
+def _carry_prop_i32(x):
+    """Signed variant: limbs may be negative; total value must be in [0, 2^(16W))."""
+    c = jnp.zeros_like(x[..., 0])
+    outs = []
+    for j in range(x.shape[-1]):
+        v = x[..., j] + c
+        outs.append(v & MASK)
+        c = v >> B  # arithmetic shift = floor division for negatives
+    return jnp.stack(outs, axis=-1)
+
+
+def _cond_sub(x, m_limbs):
+    """x - m if x >= m else x, for canonical-limbed x and constant m."""
+    xi = x.astype(jnp.int32)
+    borrow = jnp.zeros_like(xi[..., 0])
+    diffs = []
+    for j in range(W):
+        v = xi[..., j] - np.int32(m_limbs[j]) - borrow
+        diffs.append(v & MASK)
+        borrow = (v >> 31) & 1
+    diff = jnp.stack(diffs, axis=-1)
+    take = (borrow == 0)[..., None]
+    return jnp.where(take, diff, xi).astype(jnp.uint32)
+
+
+def _add(a, b, p_limbs):
+    s = _carry_prop_u32(a + b)
+    return _cond_sub(s, p_limbs)
+
+
+def _sub(a, b, p_limbs):
+    d = a.astype(jnp.int32) - b.astype(jnp.int32) + np.asarray(p_limbs, np.int32)
+    d = jnp.broadcast_to(d, jnp.broadcast_shapes(a.shape, b.shape))
+    s = _carry_prop_i32(d).astype(jnp.uint32)
+    return _cond_sub(s, p_limbs)
+
+
+def _product_columns(a, b):
+    """Schoolbook product columns: [..., 2W+1] uint32, each column < 2^21."""
+    prod = a[..., :, None] * b[..., None, :]  # [..., W, W] uint32, exact
+    lo = prod & MASK
+    hi = prod >> B
+    batch_shape = prod.shape[:-2]
+    col = jnp.zeros(batch_shape + (2 * W + 1,), dtype=jnp.uint32)
+    for i in range(W):
+        col = col.at[..., i: i + W].add(lo[..., i, :])
+        col = col.at[..., i + 1: i + W + 1].add(hi[..., i, :])
+    return col
+
+
+def _mont_redc(col, p_limbs, n0inv):
+    """Montgomery reduction of 2W+1 lazy columns -> canonical W limbs (< p)."""
+    t = col
+    for i in range(W):
+        m = (t[..., i] * np.uint32(n0inv)) & MASK
+        prod = m[..., None] * np.asarray(p_limbs, np.uint32)
+        t = t.at[..., i: i + W].add(prod & MASK)
+        t = t.at[..., i + 1: i + W + 1].add(prod >> B)
+        t = t.at[..., i + 1].add(t[..., i] >> B)
+    res = _carry_prop_u32(t[..., W: 2 * W + 1])
+    # top limb is zero because the REDC output is < 2p < 2^256
+    res = res[..., :W]
+    return _cond_sub(res, p_limbs)
+
+
+def _mont_mul(a, b, p_limbs, n0inv):
+    return _mont_redc(_product_columns(a, b), p_limbs, n0inv)
+
+
+def _canon_wide(x, p_shifts):
+    """Reduce a canonical-limbed value < 2^256 to [0, p): conditional subtract
+    8p, 4p, 2p, p (each p_shift = limbs of p << k)."""
+    for m in p_shifts:
+        x = _cond_sub(x, m)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# field object
+# ---------------------------------------------------------------------------
+
+class JField:
+    """Batched field ops over a fixed modulus, jitted per array shape."""
+
+    def __init__(self, host: HostField, name: str):
+        self.host = host
+        self.name = name
+        p = host.p
+        self.p_limbs = tuple(K.limbs_of(p))
+        self.n0inv = (-pow(p, -1, 1 << B)) % (1 << B)
+        # shifted moduli for wide canonicalization (value < 2^256 <= 16p)
+        shifts = []
+        for k in (3, 2, 1, 0):
+            if (p << k) < (1 << 256):
+                shifts.append(tuple(K.limbs_of(p << k)))
+        self.p_shifts = tuple(shifts)
+
+        self.r2_limbs = pack_int(host.r2)  # R^2 mod p (for encoding)
+        self.one_limbs = pack_int(1)  # literal 1 (for decoding)
+        self.mont_one = pack_int(host.r % p)  # field one in Montgomery form
+        self.zero_limbs = pack_int(0)
+
+        self.add = jax.jit(functools.partial(_add, p_limbs=self.p_limbs))
+        self.sub = jax.jit(functools.partial(_sub, p_limbs=self.p_limbs))
+        self.mul = jax.jit(functools.partial(_mont_mul, p_limbs=self.p_limbs, n0inv=self.n0inv))
+        self._canon = jax.jit(functools.partial(_canon_wide, p_shifts=self.p_shifts))
+        self._sum_pairwise = jax.jit(self._sum_pairwise_impl)
+
+    # -- constructors -------------------------------------------------------
+    def encode_ints(self, xs) -> jnp.ndarray:
+        """Host ints -> device Montgomery limbs [n, W]."""
+        return jnp.asarray(pack_ints([self.host.to_mont(int(x) % self.host.p) for x in xs]))
+
+    def encode_scalar(self, x: int) -> jnp.ndarray:
+        return jnp.asarray(pack_int(self.host.to_mont(int(x) % self.host.p)))
+
+    def encode_u64_array(self, xs: np.ndarray) -> jnp.ndarray:
+        """uint64 values -> Montgomery limbs, with the x*R step done on device."""
+        packed = jnp.asarray(pack_u64_array(xs))
+        return self.mul(packed, jnp.asarray(self.r2_limbs))
+
+    def zeros(self, shape) -> jnp.ndarray:
+        if isinstance(shape, int):
+            shape = (shape,)
+        return jnp.zeros(tuple(shape) + (W,), dtype=jnp.uint32)
+
+    def ones(self, shape) -> jnp.ndarray:
+        if isinstance(shape, int):
+            shape = (shape,)
+        return jnp.broadcast_to(jnp.asarray(self.mont_one), tuple(shape) + (W,))
+
+    # -- converters ---------------------------------------------------------
+    def decode(self, arr) -> list[int]:
+        """Device Montgomery limbs -> host ints (canonical values)."""
+        vals = unpack_ints(arr)
+        return [self.host.from_mont(v) for v in vals]
+
+    def decode_scalar(self, arr) -> int:
+        return self.decode(arr)[0]
+
+    def to_int_limbs(self, arr) -> jnp.ndarray:
+        """Montgomery form -> canonical integer limbs (for digit decomposition)."""
+        return self.mul(arr, jnp.asarray(self.one_limbs))
+
+    # -- reductions -----------------------------------------------------------
+    def _sum_pairwise_impl(self, x):
+        # x: [n, ..., W]; n a power of two. log(n) rounds of modular adds.
+        n = x.shape[0]
+        while n > 1:
+            half = n // 2
+            x = _add(x[:half], x[half:n], self.p_limbs)
+            n = half
+        return x[0]
+
+    def sum(self, x) -> jnp.ndarray:
+        """Sum of field elements along axis 0 of [n, ..., W] -> [..., W]."""
+        n = x.shape[0]
+        if n == 0:
+            return jnp.zeros(x.shape[1:], dtype=jnp.uint32)
+        pow2 = 1 << (n - 1).bit_length()
+        if pow2 != n:
+            pad = jnp.zeros((pow2 - n,) + x.shape[1:], dtype=jnp.uint32)
+            x = jnp.concatenate([x, pad], axis=0)
+        return self._sum_pairwise(x)
+
+    def canon_wide(self, x) -> jnp.ndarray:
+        """Reduce canonical-limbed values < 2^256 into [0, p)."""
+        return self._canon(x)
+
+    # -- misc -------------------------------------------------------------------
+    def neg(self, a) -> jnp.ndarray:
+        return self.sub(jnp.zeros_like(a), a)
+
+    def select(self, mask, a, b) -> jnp.ndarray:
+        """mask: [...] bool; a, b: [..., W]."""
+        return jnp.where(mask[..., None], a, b)
+
+
+JFr = JField(HostFr, "Fr")
+JFp = JField(HostFp, "Fp")

@@ -1,0 +1,202 @@
+"""Sigma-protocol dot-product proofs (reference: src/subprotocols/dot_product.rs).
+
+`DotProductProof` is the linear-size variant; `DotProductProofLog` wraps the
+bullet reduction for log-size proofs.  Vector math runs on device; the few
+per-proof scalar commitments are host group ops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from lasso_tpu.curve import host as hostcurve
+from lasso_tpu.curve.jcurve import from_host_points, to_host_point
+from lasso_tpu.field.host import Fr
+from lasso_tpu.field.jfield import JFr
+from lasso_tpu.ops.msm import msm_device
+from lasso_tpu.poly.commitments import MultiCommitGens, commit_scalar
+from lasso_tpu.subprotocols.bullet import BulletReductionProof
+from lasso_tpu.utils.errors import InvalidInputLength, LassoError
+
+
+def _gens_device(gens: MultiCommitGens):
+    dev = getattr(gens, "_device_cache", None)
+    if dev is None or dev.shape[0] != gens.n + 1:
+        dev = from_host_points(gens.G + [gens.h])
+        gens._device_cache = dev
+    return dev
+
+
+def batch_commit(values_dev, blind: int, gens: MultiCommitGens) -> hostcurve.Point:
+    """MSM commitment <values, G> + blind * h (values: [n, W] device Fr)."""
+    n = values_dev.shape[0]
+    assert gens.n == n, f"gens size {gens.n} != {n}"
+    pts = _gens_device(gens)
+    scalars = jnp.concatenate([values_dev, JFr.encode_ints([blind])], axis=0)
+    return to_host_point(msm_device(pts, scalars))
+
+
+@dataclass
+class DotProductProofGens:
+    n: int
+    gens_n: MultiCommitGens
+    gens_1: MultiCommitGens
+
+    @staticmethod
+    def new(n: int, label: bytes) -> "DotProductProofGens":
+        gens_n, gens_1 = MultiCommitGens.new(n + 1, label).split_at(n)
+        return DotProductProofGens(n, gens_n, gens_1)
+
+
+@dataclass
+class DotProductProof:
+    delta: hostcurve.Point
+    beta: hostcurve.Point
+    z: list[int]
+    z_delta: int
+    z_beta: int
+
+    PROTOCOL_NAME = b"dot product proof"
+
+    @staticmethod
+    def prove(gens_1, gens_n, transcript, random_tape,
+              x_vec: list[int], blind_x: int, a_vec: list[int], y: int, blind_y: int):
+        transcript.append_protocol_name(DotProductProof.PROTOCOL_NAME)
+        n = len(x_vec)
+        assert n == len(a_vec) and gens_n.n == n and gens_1.n == 1
+
+        d_vec = random_tape.random_vector(b"d_vec", n)
+        r_delta = random_tape.random_scalar(b"r_delta")
+        r_beta = random_tape.random_scalar(b"r_beta")
+
+        cx = batch_commit(JFr.encode_ints(x_vec), blind_x, gens_n)
+        transcript.append_point(b"Cx", cx)
+        cy = commit_scalar(y, blind_y, gens_1)
+        transcript.append_point(b"Cy", cy)
+        transcript.append_scalars(b"a", a_vec)
+
+        delta = batch_commit(JFr.encode_ints(d_vec), r_delta, gens_n)
+        transcript.append_point(b"delta", delta)
+
+        dot_a_d = sum(a * d for a, d in zip(a_vec, d_vec)) % Fr.p
+        beta = commit_scalar(dot_a_d, r_beta, gens_1)
+        transcript.append_point(b"beta", beta)
+
+        c = transcript.challenge_scalar(b"c")
+
+        z = [(c * x + d) % Fr.p for x, d in zip(x_vec, d_vec)]
+        z_delta = (c * blind_x + r_delta) % Fr.p
+        z_beta = (c * blind_y + r_beta) % Fr.p
+        return DotProductProof(delta, beta, z, z_delta, z_beta), cx, cy
+
+    def verify(self, gens_1, gens_n, transcript, a: list[int],
+               cx: hostcurve.Point, cy: hostcurve.Point) -> None:
+        if len(a) != gens_n.n:
+            raise InvalidInputLength(gens_n.n, len(a))
+        if gens_1.n != 1:
+            raise InvalidInputLength(1, gens_1.n)
+
+        transcript.append_protocol_name(DotProductProof.PROTOCOL_NAME)
+        transcript.append_point(b"Cx", cx)
+        transcript.append_point(b"Cy", cy)
+        transcript.append_scalars(b"a", a)
+        transcript.append_point(b"delta", self.delta)
+        transcript.append_point(b"beta", self.beta)
+
+        c = transcript.challenge_scalar(b"c")
+
+        lhs1 = cx.mul(c).add(self.delta)
+        rhs1 = batch_commit(JFr.encode_ints(self.z), self.z_delta, gens_n)
+        ok = lhs1 == rhs1
+
+        dot_z_a = sum(zi * ai for zi, ai in zip(self.z, a)) % Fr.p
+        lhs2 = cy.mul(c).add(self.beta)
+        rhs2 = commit_scalar(dot_z_a, self.z_beta, gens_1)
+        ok = ok and lhs2 == rhs2
+        if not ok:
+            raise LassoError("dot product proof rejected")
+
+
+@dataclass
+class DotProductProofLog:
+    bullet_reduction_proof: BulletReductionProof
+    delta: hostcurve.Point
+    beta: hostcurve.Point
+    z1: int
+    z2: int
+
+    PROTOCOL_NAME = b"dot product proof (log)"
+
+    @staticmethod
+    def prove(gens: DotProductProofGens, transcript, random_tape,
+              x_dev, blind_x: int, a_dev, y: int, blind_y: int):
+        """x_dev, a_dev: [n, W] device Fr vectors.
+
+        Returns (proof, Cx, Cy)."""
+        transcript.append_protocol_name(DotProductProofLog.PROTOCOL_NAME)
+        n = x_dev.shape[0]
+        assert gens.n == n
+        lg_n = (n - 1).bit_length()
+
+        d = random_tape.random_scalar(b"d")
+        r_delta = random_tape.random_scalar(b"r_delta")
+        # (reference quirk kept: r_beta drawn under the same label "r_delta")
+        r_beta = random_tape.random_scalar(b"r_delta")
+        v1 = random_tape.random_vector(b"blinds_vec_1", 2 * lg_n)
+        v2 = random_tape.random_vector(b"blinds_vec_2", 2 * lg_n)
+        blinds_vec = list(zip(v1, v2))
+
+        cx = batch_commit(x_dev, blind_x, gens.gens_n)
+        transcript.append_point(b"Cx", cx)
+        y_val = y % Fr.p
+        cy = commit_scalar(y_val, blind_y, gens.gens_1)
+        transcript.append_point(b"Cy", cy)
+        a_ints = JFr.decode(a_dev)
+        transcript.append_scalars(b"a", a_ints)
+
+        blind_gamma = (blind_x + blind_y) % Fr.p
+        g_dev = _gens_device(gens.gens_n)[: gens.n]
+        (bullet_proof, _gamma_hat, x_hat, a_hat, g_hat, rhat_gamma) = \
+            BulletReductionProof.prove(
+                transcript, gens.gens_1.G[0], g_dev, gens.gens_n.h,
+                x_dev, a_dev, blind_gamma, blinds_vec)
+
+        y_hat = x_hat * a_hat % Fr.p
+
+        delta = g_hat.mul(d).add(gens.gens_1.h.mul(r_delta))
+        transcript.append_point(b"delta", delta)
+        beta = commit_scalar(d, r_beta, gens.gens_1)
+        transcript.append_point(b"beta", beta)
+
+        c = transcript.challenge_scalar(b"c")
+
+        z1 = (d + c * y_hat) % Fr.p
+        z2 = (a_hat * ((c * rhat_gamma + r_beta) % Fr.p) + r_delta) % Fr.p
+
+        return DotProductProofLog(bullet_proof, delta, beta, z1, z2), cx, cy
+
+    def verify(self, n: int, gens: DotProductProofGens, transcript,
+               a: list[int], cx: hostcurve.Point, cy: hostcurve.Point) -> None:
+        assert gens.n == n and len(a) == n
+
+        transcript.append_protocol_name(DotProductProofLog.PROTOCOL_NAME)
+        transcript.append_point(b"Cx", cx)
+        transcript.append_point(b"Cy", cy)
+        transcript.append_scalars(b"a", a)
+
+        gamma = cx.add(cy)
+        g_dev = _gens_device(gens.gens_n)[: gens.n]
+        g_hat, gamma_hat, a_hat = self.bullet_reduction_proof.verify(
+            n, a, transcript, gamma, g_dev)
+
+        transcript.append_point(b"delta", self.delta)
+        transcript.append_point(b"beta", self.beta)
+        c = transcript.challenge_scalar(b"c")
+
+        lhs = gamma_hat.mul(c).add(self.beta).mul(a_hat).add(self.delta)
+        rhs = g_hat.add(gens.gens_1.G[0].mul(a_hat)).mul(self.z1).add(
+            gens.gens_1.h.mul(self.z2))
+        if not lhs == rhs:
+            raise LassoError("log dot product proof rejected")

@@ -1,0 +1,178 @@
+"""Sumcheck prover/verifier (reference: src/subprotocols/sumcheck.rs).
+
+TPU decomposition: each round is one fused device kernel that
+  1. extrapolates every polynomial's evaluations to the deg+1 round points
+     (incremental `prev + (hi - lo)` updates, as vector ops over the half-cube)
+  2. combines them with the strategy's g (vectorized over the hypercube)
+  3. tree-reduces each round point to a single field element
+followed by a host step that interpolates the (deg+1)-point round polynomial,
+feeds the Fiat-Shamir transcript, and binds all tables to the challenge with
+a second fused kernel.  Shapes halve every round; XLA caches one executable
+per (shape, degree, comb) and reuses it across rounds, proofs and batches.
+
+The hypercube axis is the sharding axis for multi-host runs: round-point sums
+are shard-local tree reductions followed by a psum of 16-limb partials
+(see parallel/).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from lasso_tpu.field.host import Fr
+from lasso_tpu.field.jfield import JFr
+from lasso_tpu.poly.unipoly import CompressedUniPoly, UniPoly
+from lasso_tpu.utils.errors import LassoError
+
+
+@functools.partial(jax.jit, static_argnames=("comb", "degree"))
+def _round_evals(zs, comb, degree: int):
+    """zs: [alpha, n, W] -> [degree+1, W] sums of comb over the half-cube."""
+    half = zs.shape[1] // 2
+    lo = zs[:, :half]
+    hi = zs[:, half:]
+    evals = [JFr.sum(comb(lo)), JFr.sum(comb(hi))]
+    diff = JFr.sub(hi, lo)
+    cur = hi
+    for _ in range(2, degree + 1):
+        cur = JFr.add(cur, diff)
+        evals.append(JFr.sum(comb(cur)))
+    return jnp.stack(evals)
+
+
+@jax.jit
+def _bind_top(zs, r):
+    """Bind the top variable of every stacked polynomial: [a, n, W] -> [a, n/2, W]."""
+    half = zs.shape[1] // 2
+    lo = zs[:, :half]
+    hi = zs[:, half:]
+    return JFr.add(lo, JFr.mul(r, JFr.sub(hi, lo)))
+
+
+@dataclass
+class SumcheckInstanceProof:
+    compressed_polys: list[CompressedUniPoly]
+
+    def verify(self, claim: int, num_rounds: int, degree_bound: int, transcript):
+        """Host-side verification of the round polynomials.
+
+        Returns (final claim e, challenge point r)."""
+        e = claim % Fr.p
+        r: list[int] = []
+        if len(self.compressed_polys) != num_rounds:
+            raise LassoError(f"expected {num_rounds} round polys, got {len(self.compressed_polys)}")
+        for cp in self.compressed_polys:
+            poly = cp.decompress(e)
+            if poly.degree() != degree_bound:
+                raise LassoError(
+                    f"round poly degree {poly.degree()} != bound {degree_bound}")
+            if (poly.eval_at_zero() + poly.eval_at_one()) % Fr.p != e:
+                raise LassoError("sumcheck round identity G(0)+G(1) != e failed")
+            poly.append_to_transcript(b"poly", transcript)
+            r_i = transcript.challenge_scalar(b"challenge_nextround")
+            r.append(r_i)
+            e = poly.evaluate(r_i)
+        return e, r
+
+
+def prove_arbitrary(polys_stack, comb, degree: int, num_rounds: int, transcript):
+    """Arbitrary-degree sumcheck prover over stacked tables [alpha, n, W].
+
+    `comb` maps [alpha, m, W] -> [m, W] (device).  Returns
+    (SumcheckInstanceProof, r (host ints), final_evals (host ints), bound stack).
+    """
+    zs = polys_stack
+    compressed = []
+    r_out: list[int] = []
+    for _ in range(num_rounds):
+        eval_limbs = _round_evals(zs, comb, degree)
+        evals = JFr.decode(eval_limbs)
+        round_poly = UniPoly.from_evals(evals)
+        round_poly.append_to_transcript(b"poly", transcript)
+        r_j = transcript.challenge_scalar(b"challenge_nextround")
+        r_out.append(r_j)
+        zs = _bind_top(zs, JFr.encode_scalar(r_j))
+        compressed.append(round_poly.compress())
+
+    final_evals = JFr.decode(zs[:, 0])
+    return SumcheckInstanceProof(compressed), r_out, final_evals, zs
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _cubic_round_evals(a, b, c):
+    """Batched cubic round evals at t in {0, 2, 3}.
+
+    a, b: [I, n, W]; c: [n, W] shared. Returns [3, I, W] sums
+    (t=0, t=2, t=3) per instance."""
+    half = a.shape[1] // 2
+    a_lo, a_hi = a[:, :half], a[:, half:]
+    b_lo, b_hi = b[:, :half], b[:, half:]
+    c_lo, c_hi = c[:half], c[half:]
+
+    def prod3(x, y, z):
+        return JFr.mul(JFr.mul(x, y), z)
+
+    e0 = JFr.sum(jnp.moveaxis(prod3(a_lo, b_lo, c_lo[None]), 1, 0))  # [I, W]
+
+    a_d, b_d, c_d = JFr.sub(a_hi, a_lo), JFr.sub(b_hi, b_lo), JFr.sub(c_hi, c_lo)
+    a2, b2, c2 = JFr.add(a_hi, a_d), JFr.add(b_hi, b_d), JFr.add(c_hi, c_d)
+    e2 = JFr.sum(jnp.moveaxis(prod3(a2, b2, c2[None]), 1, 0))
+
+    a3, b3, c3 = JFr.add(a2, a_d), JFr.add(b2, b_d), JFr.add(c2, c_d)
+    e3 = JFr.sum(jnp.moveaxis(prod3(a3, b3, c3[None]), 1, 0))
+    return jnp.stack([e0, e2, e3])
+
+
+@jax.jit
+def _bind_top_single(z, r):
+    half = z.shape[0] // 2
+    lo, hi = z[:half], z[half:]
+    return JFr.add(lo, JFr.mul(r, JFr.sub(hi, lo)))
+
+
+def prove_cubic_batched(claim: int, num_rounds: int, a_stack, b_stack, c_poly,
+                        coeffs: list[int], transcript):
+    """Batched product-layer sumcheck (reference: sumcheck.rs:27-135).
+
+    a_stack, b_stack: [I, n, W] (left/right inputs per instance);
+    c_poly: [n, W] shared eq polynomial; coeffs: host RLC coefficients.
+
+    Returns (proof, r, (claims_A, claims_B, claim_C)).
+    """
+    e = claim % Fr.p
+    a, b, c = a_stack, b_stack, c_poly
+    compressed = []
+    r_out: list[int] = []
+    num_instances = a.shape[0]
+
+    for _ in range(num_rounds):
+        evals_limbs = _cubic_round_evals(a, b, c)  # [3, I, W]
+        flat = JFr.decode(evals_limbs.reshape(3 * num_instances, -1))
+        e0 = flat[0:num_instances]
+        e2 = flat[num_instances:2 * num_instances]
+        e3 = flat[2 * num_instances:]
+
+        comb0 = sum(x * y for x, y in zip(e0, coeffs)) % Fr.p
+        comb2 = sum(x * y for x, y in zip(e2, coeffs)) % Fr.p
+        comb3 = sum(x * y for x, y in zip(e3, coeffs)) % Fr.p
+        evals = [comb0, (e - comb0) % Fr.p, comb2, comb3]
+        round_poly = UniPoly.from_evals(evals)
+        round_poly.append_to_transcript(b"poly", transcript)
+
+        r_j = transcript.challenge_scalar(b"challenge_nextround")
+        r_out.append(r_j)
+        r_dev = JFr.encode_scalar(r_j)
+        a = _bind_top(a, r_dev)
+        b = _bind_top(b, r_dev)
+        c = _bind_top_single(c, r_dev)
+        e = round_poly.evaluate(r_j)
+        compressed.append(round_poly.compress())
+
+    claims_a = JFr.decode(a[:, 0])
+    claims_b = JFr.decode(b[:, 0])
+    claim_c = JFr.decode(c[0][None])[0]
+    return SumcheckInstanceProof(compressed), r_out, (claims_a, claims_b, claim_c)

@@ -1,0 +1,141 @@
+"""Runtime subtable container + combined-table commitment/eval proof
+(reference: src/subtables/mod.rs:95-394).
+
+Materialized subtables live on device as Montgomery limb tensors; the
+"dereferenced" lookup polynomials E_i = T_i[nz_i] are ONE batched gather, and
+the primary-sumcheck claim  sum_k eq[k] * g(E(k))  is a fused vectorized
+combine + modular tree reduction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from lasso_tpu.field.host import Fr
+from lasso_tpu.field.jfield import JFr, W
+from lasso_tpu.poly.dense import DensePolynomial, bound_var_bot_host
+from lasso_tpu.poly.hyrax import (PolyCommitment, PolyCommitmentGens,
+                                  PolyEvalProof, commit_poly)
+from lasso_tpu.subtables.base import DeviceOps, SubtableStrategy
+
+
+class Subtables:
+    """Materialized subtables + lookup polynomials for one proof instance."""
+
+    def __init__(self, strategy: SubtableStrategy, nz: jnp.ndarray, s: int):
+        """nz: [C, s] int32 lookup indices (device)."""
+        assert nz.shape == (strategy.c, s)
+        self.strategy = strategy
+        self.s = s
+
+        tables_u64 = strategy.materialize_subtables()  # [NS, M] uint64
+        self.table_vals = JFr.encode_u64_array(tables_u64)  # [NS, M, W]
+
+        # E_i = T_{sub(i)}[nz_{dim(i)}]: one gather per memory, stacked
+        gathers = []
+        for i in range(strategy.num_memories):
+            tbl = self.table_vals[strategy.memory_to_subtable_index(i)]
+            idx = nz[strategy.memory_to_dimension_index(i)]
+            gathers.append(jnp.take(tbl, idx, axis=0))
+        self.lookup_stack = jnp.stack(gathers)  # [alpha, s, W]
+
+        polys = [DensePolynomial(self.lookup_stack[i])
+                 for i in range(strategy.num_memories)]
+        self.lookup_polys = polys
+        self.combined_poly = DensePolynomial.merge(polys)
+
+    # -- primary sumcheck hooks ------------------------------------------------
+    def combine_eq_device(self, zs):
+        """comb function for the primary sumcheck: zs [alpha+1, m, W]."""
+        vals = [zs[i] for i in range(zs.shape[0])]
+        return self.strategy.combine_lookups_eq(vals, DeviceOps)
+
+    def compute_sumcheck_claim(self, eq_table: jnp.ndarray) -> int:
+        """sum_k eq[k] * g(E_1[k] .. E_alpha[k]) (reference: mod.rs:186-216)."""
+        vals = [self.lookup_stack[i] for i in range(self.strategy.num_memories)]
+        g = self.strategy.combine_lookups(vals, DeviceOps)  # [s, W]
+        total = JFr.sum(JFr.mul(g, eq_table))
+        return JFr.decode(total[None])[0]
+
+    def evaluate_lookups_at(self, chis: jnp.ndarray) -> list[int]:
+        """All E_i evaluated at a point given its eq table ([n, W])."""
+        prods = JFr.mul(self.lookup_stack, chis[None])
+        sums = JFr.sum(jnp.moveaxis(prods, 1, 0))  # [alpha, W]
+        return JFr.decode(sums)
+
+    def commit(self, gens: PolyCommitmentGens) -> "CombinedTableCommitment":
+        comm, _ = commit_poly(self.combined_poly, gens)
+        return CombinedTableCommitment(comm)
+
+
+@dataclass
+class CombinedTableCommitment:
+    comm_ops_val: PolyCommitment
+
+    def append_to_transcript(self, label: bytes, transcript) -> None:
+        transcript.append_message(
+            b"subtable_evals_commitment", b"begin_subtable_evals_commitment")
+        self.comm_ops_val.append_to_transcript(label, transcript)
+        transcript.append_message(
+            b"subtable_evals_commitment", b"end_subtable_evals_commitment")
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max((n - 1).bit_length(), 0)
+
+
+@dataclass
+class CombinedTableEvalProof:
+    """n-to-1 reduction + one joint opening (reference: mod.rs:229-380)."""
+
+    proof_table_eval: PolyEvalProof
+
+    PROTOCOL_NAME = b"Lasso CombinedTableEvalProof"
+
+    @staticmethod
+    def prove(combined_poly: DensePolynomial, evals: list[int], r: list[int],
+              gens: PolyCommitmentGens, transcript, random_tape
+              ) -> "CombinedTableEvalProof":
+        transcript.append_protocol_name(CombinedTableEvalProof.PROTOCOL_NAME)
+        evals = list(evals) + [0] * (_next_pow2(len(evals)) - len(evals))
+
+        transcript.append_scalars(b"evals_ops_val", evals)
+        num_ch = (len(evals) - 1).bit_length()
+        challenges = transcript.challenge_vector(
+            b"challenge_combine_n_to_one", num_ch)
+
+        vals = evals
+        for c in reversed(challenges):
+            vals = bound_var_bot_host(vals, c)
+        assert len(vals) == 1
+        joint_eval = vals[0]
+        r_joint = challenges + list(r)
+        transcript.append_scalar(b"joint_claim_eval", joint_eval)
+
+        proof, _ = PolyEvalProof.prove(
+            combined_poly, None, r_joint, joint_eval, None, gens,
+            transcript, random_tape)
+        return CombinedTableEvalProof(proof)
+
+    def verify(self, r: list[int], evals: list[int], gens: PolyCommitmentGens,
+               comm: CombinedTableCommitment, transcript) -> None:
+        transcript.append_protocol_name(CombinedTableEvalProof.PROTOCOL_NAME)
+        evals = list(evals) + [0] * (_next_pow2(len(evals)) - len(evals))
+
+        transcript.append_scalars(b"evals_ops_val", evals)
+        num_ch = (len(evals) - 1).bit_length()
+        challenges = transcript.challenge_vector(
+            b"challenge_combine_n_to_one", num_ch)
+        vals = evals
+        for c in reversed(challenges):
+            vals = bound_var_bot_host(vals, c)
+        assert len(vals) == 1
+        joint_eval = vals[0]
+        r_joint = challenges + list(r)
+        transcript.append_scalar(b"joint_claim_eval", joint_eval)
+
+        self.proof_table_eval.verify_plain(
+            gens, transcript, r_joint, joint_eval, comm.comm_ops_val)

@@ -1,0 +1,95 @@
+"""Device curve ops and Pippenger MSM vs the host oracle."""
+
+import random
+
+import jax.numpy as jnp
+
+from lasso_tpu.curve.host import GENERATOR, Point, msm_host, rand_point
+from lasso_tpu.curve import jcurve
+from lasso_tpu.field.host import Fr
+from lasso_tpu.field.jfield import JFr
+from lasso_tpu.ops import msm as jmsm
+from lasso_tpu.utils.chacha import test_rng as ark_test_rng
+
+
+def _rand_points(n, rng=None):
+    rng = rng or ark_test_rng()
+    return [rand_point(rng) for _ in range(n)]
+
+
+def test_device_add_double_matches_host():
+    pts = _rand_points(6)
+    dev = jcurve.from_host_points(pts)
+    # pairwise adds
+    got = jcurve.to_host_points(jcurve.padd(dev[0::2], dev[1::2]))
+    expected = [pts[i].add(pts[i + 1]) for i in range(0, 6, 2)]
+    assert got == expected
+    # doubling
+    got2 = jcurve.to_host_points(jcurve.pdbl(dev))
+    assert got2 == [p.double() for p in pts]
+    # unified add handles doubling and identity
+    got3 = jcurve.to_host_points(jcurve.padd(dev, dev))
+    assert got3 == [p.double() for p in pts]
+    ident = jcurve.identity((6,))
+    got4 = jcurve.to_host_points(jcurve.padd(dev, ident))
+    assert got4 == pts
+    # negation
+    got5 = jcurve.to_host_points(jcurve.padd(dev, jcurve.pneg(dev)))
+    assert all(p.is_identity() for p in got5)
+
+
+def test_tree_sum():
+    pts = _rand_points(7)
+    dev = jcurve.from_host_points(pts)
+    total = jcurve.to_host_point(jcurve.tree_sum(dev))
+    expected = Point.identity()
+    for p in pts:
+        expected = expected.add(p)
+    assert total == expected
+
+
+def _check_msm(n, scalars, seed=0):
+    pts = _rand_points(n)
+    dev_pts = jcurve.from_host_points(pts)
+    dev_scalars = JFr.encode_ints(scalars)
+    got = jmsm.msm(dev_pts, dev_scalars)
+    expected = msm_host(pts, scalars)
+    assert got == expected, f"MSM mismatch n={n}"
+
+
+def test_msm_small_scalars():
+    rng = random.Random(7)
+    n = 64
+    scalars = [rng.randrange(0, 1 << 16) for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = 1
+    _check_msm(n, scalars)
+
+
+def test_msm_tiny():
+    _check_msm(1, [5])
+    _check_msm(2, [0, 0])
+    _check_msm(4, [1, 1, 1, 1])
+
+
+def test_msm_full_width_scalars():
+    rng = random.Random(8)
+    n = 33  # force c = ln path
+    scalars = [rng.randrange(Fr.p) for _ in range(n)]
+    _check_msm(n, scalars)
+
+
+def test_msm_duplicate_buckets():
+    # all scalars equal: one giant bucket run exercises the segmented scan
+    n = 32
+    scalars = [7] * n
+    _check_msm(n, scalars)
+
+
+def test_msm_medium_mixed():
+    rng = random.Random(9)
+    n = 128
+    scalars = [rng.randrange(0, 1 << 20) for _ in range(n)]
+    for i in range(0, n, 5):
+        scalars[i] = 0
+    _check_msm(n, scalars)
