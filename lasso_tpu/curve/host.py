@@ -167,10 +167,57 @@ def rand_point(rng) -> Point:
         return Point.from_affine(chosen, y).mul_by_cofactor()
 
 
-def msm_host(points: list[Point], scalars: list[int]) -> Point:
-    """Naive host MSM (oracle for the TPU Pippenger kernels)."""
+def msm_host_naive(points: list[Point], scalars: list[int]) -> Point:
+    """Naive host MSM (oracle for the Pippenger implementations)."""
     assert len(points) == len(scalars)
     acc = Point.identity()
     for pt, s in zip(points, scalars):
         acc = acc.add(pt.mul(s))
+    return acc
+
+
+def msm_host(points: list[Point], scalars: list[int]) -> Point:
+    """Host Pippenger MSM over Python bigints.
+
+    Used for small/latency-bound MSMs (verifier-side combinations, tail
+    rounds of the Bullet reduction) where a TPU kernel launch + compile is
+    not worth it; the TPU kernel (ops/msm.py) handles throughput sizes.
+    Window sizing mirrors the reference's small-scalar optimization
+    (reference: src/msm/mod.rs:96-116): windows cover only the actual max
+    scalar bit width.
+    """
+    import math
+
+    assert len(points) == len(scalars)
+    n = len(points)
+    if n == 0:
+        return Point.identity()
+    scalars = [s % Fr.p for s in scalars]
+    max_bits = max((s.bit_length() for s in scalars), default=1) or 1
+    if n < 32:
+        c = 3
+    else:
+        c = min(int(math.log2(n) * 69 / 100) + 2, 16)
+    num_windows = (max_bits + c - 1) // c
+    mask = (1 << c) - 1
+
+    acc = Point.identity()
+    for w in range(num_windows - 1, -1, -1):
+        if w != num_windows - 1:
+            for _ in range(c):
+                acc = acc.double()
+        buckets: list[Point | None] = [None] * ((1 << c) - 1)
+        shift = w * c
+        for pt, s in zip(points, scalars):
+            d = (s >> shift) & mask
+            if d:
+                b = buckets[d - 1]
+                buckets[d - 1] = pt if b is None else b.add(pt)
+        running = Point.identity()
+        window_sum = Point.identity()
+        for b in reversed(buckets):
+            if b is not None:
+                running = running.add(b)
+            window_sum = window_sum.add(running)
+        acc = acc.add(window_sum)
     return acc

@@ -32,8 +32,8 @@ _fsub = JFp.sub
 _fmul = JFp.mul
 
 # curve constants in Montgomery form (numpy: baked into jit graphs)
-_A_M = np.asarray(jax.device_get(JFp.encode_scalar(K.CURVE_A)))
-_D_M = np.asarray(jax.device_get(JFp.encode_scalar(K.CURVE_D)))
+_A_M = np.asarray(JFp.encode_scalar(K.CURVE_A))
+_D_M = np.asarray(JFp.encode_scalar(K.CURVE_D))
 _ONE_M = np.asarray(JFp.mont_one)
 _ZERO = np.zeros(W, dtype=np.uint32)
 
@@ -111,7 +111,14 @@ pdbl_jit = jax.jit(pdbl)
 
 
 def tree_sum(points) -> jnp.ndarray:
-    """Sum points along axis 0: [n, ..., 4, W] -> [..., 4, W] (log n adds)."""
+    """Sum points along axis 0: [n, ..., 4, W] -> [..., 4, W] (log n adds).
+
+    The log(n) halving rounds run inside one fori_loop with a fixed-shape
+    body (mask + dynamic roll), so the curve-addition subgraph is compiled
+    ONCE per shape instead of once per round -- compile time is the scarce
+    resource for these deeply-unrolled limb kernels, runtime is the same
+    log(n) batched adds.
+    """
     n = points.shape[0]
     if n == 0:
         return identity(points.shape[1:-2])
@@ -125,10 +132,18 @@ def tree_sum(points) -> jnp.ndarray:
 @jax.jit
 def _tree_sum_jit(points):
     n = points.shape[0]
-    while n > 1:
-        half = n // 2
-        points = padd(points[:half], points[half:n])
-        n = half
+    if n == 1:
+        return points[0]
+    rounds = (n - 1).bit_length()
+    idx = jnp.arange(n)
+
+    def body(i, pts):
+        half = n >> (i + 1)
+        active = idx < half
+        partner = jnp.roll(pts, -half, axis=0)
+        return pselect(active, padd(pts, partner), pts)
+
+    points = jax.lax.fori_loop(0, rounds, body, points)
     return points[0]
 
 

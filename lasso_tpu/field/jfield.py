@@ -60,7 +60,7 @@ def pack_u64_array(xs: np.ndarray) -> np.ndarray:
     return out
 
 def unpack_ints(arr) -> list[int]:
-    arr = np.asarray(jax.device_get(arr), dtype=np.uint64)
+    arr = np.asarray(arr).astype(np.uint64)
     flat = arr.reshape(-1, W)
     shifts = np.uint64(B) * np.arange(W, dtype=np.uint64)
     vals = []
@@ -121,28 +121,69 @@ def _sub(a, b, p_limbs):
     return _cond_sub(s, p_limbs)
 
 
+def _shear_sum(rows, offset: int, total: int):
+    """sum_i shift(rows[..., i, :], i + offset) over a [..., W, K] tensor,
+    producing [..., total] columns: out[k] = sum_i rows[i, k - i - offset].
+
+    Implemented as a pad + strided reshape ("shear") so the whole reduction is
+    elementwise/reshape work that XLA fuses -- no scatters, no
+    dynamic-update-slices (those dominate compile time and break fusion).
+    """
+    k = rows.shape[-1]
+    batch = rows.shape[:-2]
+    w = rows.shape[-2]
+    # row i must land at offset i (+ constant offset): pad rows to width
+    # total + 1 so that flattening and re-viewing with stride `total` shifts
+    # each successive row by one extra column.
+    pad_cols = (total + 1) - k
+    padded = jnp.pad(rows, [(0, 0)] * len(batch) + [(0, 0), (0, pad_cols)])
+    flat = padded.reshape(batch + (w * (total + 1),))
+    flat = flat[..., : w * total]
+    sheared = flat.reshape(batch + (w, total))
+    out = jnp.sum(sheared, axis=-2)
+    if offset:
+        out = jnp.concatenate(
+            [jnp.zeros(batch + (offset,), rows.dtype), out[..., :-offset]], axis=-1)
+    return out
+
+
 def _product_columns(a, b):
     """Schoolbook product columns: [..., 2W+1] uint32, each column < 2^21."""
     prod = a[..., :, None] * b[..., None, :]  # [..., W, W] uint32, exact
     lo = prod & MASK
     hi = prod >> B
-    batch_shape = prod.shape[:-2]
-    col = jnp.zeros(batch_shape + (2 * W + 1,), dtype=jnp.uint32)
-    for i in range(W):
-        col = col.at[..., i: i + W].add(lo[..., i, :])
-        col = col.at[..., i + 1: i + W + 1].add(hi[..., i, :])
-    return col
+    total = 2 * W + 1
+    return _shear_sum(lo, 0, total) + _shear_sum(hi, 1, total)
 
 
 def _mont_redc(col, p_limbs, n0inv):
     """Montgomery reduction of 2W+1 lazy columns -> canonical W limbs (< p)."""
+    p_arr = np.asarray(p_limbs, np.uint32)
+    total = 2 * W + 1
+    batch = col.shape[:-1]
     t = col
+    zeros_prefix = [jnp.zeros(batch + (i,), jnp.uint32) for i in range(W + 2)]
+
+    def shifted(vec, off):
+        """Place [..., K] vec at column offset `off` within width `total`."""
+        k = vec.shape[-1]
+        tail = total - off - k
+        parts = []
+        if off:
+            parts.append(zeros_prefix[off])
+        parts.append(vec)
+        if tail:
+            parts.append(jnp.zeros(batch + (tail,), jnp.uint32))
+        return jnp.concatenate(parts, axis=-1)
+
     for i in range(W):
         m = (t[..., i] * np.uint32(n0inv)) & MASK
-        prod = m[..., None] * np.asarray(p_limbs, np.uint32)
-        t = t.at[..., i: i + W].add(prod & MASK)
-        t = t.at[..., i + 1: i + W + 1].add(prod >> B)
-        t = t.at[..., i + 1].add(t[..., i] >> B)
+        prod = m[..., None] * p_arr
+        # carry of limb i once m*p0's low half lands on it (t[i] becomes
+        # congruent to 0 mod 2^16; only its carry survives)
+        carry = (t[..., i] + (prod[..., 0] & MASK)) >> B
+        t = (t + shifted(prod & MASK, i) + shifted(prod >> B, i + 1)
+             + shifted(carry[..., None], i + 1))
     res = _carry_prop_u32(t[..., W: 2 * W + 1])
     # top limb is zero because the REDC output is < 2p < 2^256
     res = res[..., :W]
@@ -151,6 +192,17 @@ def _mont_redc(col, p_limbs, n0inv):
 
 def _mont_mul(a, b, p_limbs, n0inv):
     return _mont_redc(_product_columns(a, b), p_limbs, n0inv)
+
+
+def _split_shift_renorm(cols):
+    """Lazy renormalization of uint32 columns: value-preserving rewrite with
+    all limbs < 2^17 and one extra limb of width."""
+    lo = cols & MASK
+    hi = cols >> B
+    batch = cols.shape[:-1]
+    z = jnp.zeros(batch + (1,), jnp.uint32)
+    return (jnp.concatenate([lo, z], axis=-1)
+            + jnp.concatenate([z, hi], axis=-1))
 
 
 def _canon_wide(x, p_shifts):
@@ -190,7 +242,7 @@ class JField:
         self.sub = jax.jit(functools.partial(_sub, p_limbs=self.p_limbs))
         self.mul = jax.jit(functools.partial(_mont_mul, p_limbs=self.p_limbs, n0inv=self.n0inv))
         self._canon = jax.jit(functools.partial(_canon_wide, p_shifts=self.p_shifts))
-        self._sum_pairwise = jax.jit(self._sum_pairwise_impl)
+        self._sum = jax.jit(self._sum_impl)
 
     # -- constructors -------------------------------------------------------
     def encode_ints(self, xs) -> jnp.ndarray:
@@ -229,25 +281,57 @@ class JField:
         return self.mul(arr, jnp.asarray(self.one_limbs))
 
     # -- reductions -----------------------------------------------------------
-    def _sum_pairwise_impl(self, x):
-        # x: [n, ..., W]; n a power of two. log(n) rounds of modular adds.
-        n = x.shape[0]
+    #
+    # Field sums exploit the 16/32 limb layout: uint32 lanes hold 16 bits of
+    # headroom, so up to 2^12 Montgomery values are accumulated with ONE
+    # native jnp.sum (no modular adds at all), lazily renormalized
+    # (split+shift, limbs back under 2^17), and summed again hierarchically.
+    # The final wide value (< n*p) is collapsed with a single Montgomery REDC
+    # + re-encode.  This replaces a log(n)-deep tree of modular adds with
+    # native reductions XLA turns into one pass -- the #1 hot reduction in
+    # sumcheck rounds, MLE evaluation and Hyrax L-folds.
+    def sum_columns(self, x):
+        """Lazy hierarchical column sums along axis 0: [n, ..., W] ->
+        [..., W+levels] wide columns, each limb < 2^17.  Safe to psum across
+        up to 2^15 shards before `finish_sum` (limbs stay under 2^32)."""
+        cols = x
+        n = cols.shape[0]
         while n > 1:
-            half = n // 2
-            x = _add(x[:half], x[half:n], self.p_limbs)
-            n = half
-        return x[0]
+            chunk = min(n, 4096)
+            if n % chunk:
+                padn = chunk - n % chunk
+                cols = jnp.concatenate(
+                    [cols, jnp.zeros((padn,) + cols.shape[1:], jnp.uint32)], axis=0)
+                n += padn
+            cols = cols.reshape((n // chunk, chunk) + cols.shape[1:]).sum(
+                axis=1, dtype=jnp.uint32)
+            cols = _split_shift_renorm(cols)  # limbs < 2^17, width + 1
+            n = n // chunk
+        if cols.shape[0] == 1:
+            return cols[0]
+        return _split_shift_renorm(cols.sum(axis=0, dtype=jnp.uint32))
+
+    def finish_sum(self, wide):
+        """Collapse wide lazy columns (limbs < 2^21, value < R*p) to a
+        canonical Montgomery element."""
+        width = wide.shape[-1]
+        if width < 2 * W + 1:
+            wide = jnp.concatenate(
+                [wide, jnp.zeros(wide.shape[:-1] + (2 * W + 1 - width,), jnp.uint32)],
+                axis=-1)
+        # REDC strips one R factor (values are a*R); re-encode with R^2
+        s = _mont_redc(wide, self.p_limbs, self.n0inv)
+        return _mont_mul(s, jnp.asarray(self.r2_limbs), self.p_limbs, self.n0inv)
+
+    def _sum_impl(self, x):
+        return self.finish_sum(self.sum_columns(x))
 
     def sum(self, x) -> jnp.ndarray:
         """Sum of field elements along axis 0 of [n, ..., W] -> [..., W]."""
         n = x.shape[0]
         if n == 0:
             return jnp.zeros(x.shape[1:], dtype=jnp.uint32)
-        pow2 = 1 << (n - 1).bit_length()
-        if pow2 != n:
-            pad = jnp.zeros((pow2 - n,) + x.shape[1:], dtype=jnp.uint32)
-            x = jnp.concatenate([x, pad], axis=0)
-        return self._sum_pairwise(x)
+        return self._sum(x)
 
     def canon_wide(self, x) -> jnp.ndarray:
         """Reduce canonical-limbed values < 2^256 into [0, p)."""

@@ -26,6 +26,7 @@ import numpy as np
 from lasso_tpu.field.jfield import JFr
 from lasso_tpu.poly.dense import DensePolynomial
 from lasso_tpu.poly.hyrax import PolyCommitment, commit_poly
+from lasso_tpu.utils.tracing import instrument
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
@@ -71,6 +72,7 @@ class SparsePolynomialCommitment:
 class DensifiedRepresentation:
     """dim/read/final counter polynomials + merged commitments."""
 
+    @instrument("Densify")
     def __init__(self, indices, log_m: int, c: int):
         """indices: [s_raw][C] lookup indices (host ints or numpy)."""
         arr = np.asarray(indices, dtype=np.int64)
@@ -97,7 +99,7 @@ class DensifiedRepresentation:
 
         def _to_poly(x):
             return DensePolynomial(
-                JFr.encode_u64_array(np.asarray(jax.device_get(x), np.uint64)))
+                JFr.encode_u64_array(np.asarray(x).astype(np.uint64)))
 
         self.dim = [_to_poly(self.dim_usize[i]) for i in range(c)]
         self.read = [_to_poly(r) for r in read_list]
@@ -106,6 +108,7 @@ class DensifiedRepresentation:
         self.combined_l_variate_polys = DensePolynomial.merge(self.dim + self.read)
         self.combined_log_m_variate_polys = DensePolynomial.merge(self.final)
 
+    @instrument("DensifiedRepresentation.commit")
     def commit(self, gens) -> SparsePolynomialCommitment:
         l_comm, _ = commit_poly(
             self.combined_l_variate_polys, gens.gens_combined_l_variate)

@@ -29,6 +29,7 @@ from lasso_tpu.subprotocols.grand_product import (BatchedGrandProductArgument,
                                                   BatchedGrandProductCircuit)
 from lasso_tpu.subtables.container import CombinedTableEvalProof
 from lasso_tpu.utils.errors import LassoError
+from lasso_tpu.utils.tracing import instrument, span
 
 
 @jax.jit
@@ -97,6 +98,7 @@ class ProductLayerProof:
     PROTOCOL_NAME = b"Lasso ProductLayerProof"
 
     @staticmethod
+    @instrument("MemoryChecking.ProductLayer.prove")
     def prove(rw_circuits, if_circuits, transcript):
         """Returns (proof, rand_mem, rand_ops)."""
         transcript.append_protocol_name(ProductLayerProof.PROTOCOL_NAME)
@@ -175,6 +177,7 @@ class HashLayerProof:
     PROTOCOL_NAME = b"Lasso HashLayerProof"
 
     @staticmethod
+    @instrument("MemoryChecking.HashLayer.prove")
     def prove(rand_mem, rand_ops, dense, subtables, gens, transcript, random_tape):
         transcript.append_protocol_name(HashLayerProof.PROTOCOL_NAME)
 
@@ -307,6 +310,7 @@ class MemoryCheckingProof:
     PROTOCOL_NAME = b"Lasso MemoryCheckingProof"
 
     @staticmethod
+    @instrument("MemoryChecking.prove")
     def prove(dense, r_mem_check, subtables, gens, transcript, random_tape):
         transcript.append_protocol_name(MemoryCheckingProof.PROTOCOL_NAME)
 

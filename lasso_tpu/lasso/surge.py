@@ -26,6 +26,7 @@ from lasso_tpu.subtables.base import HostOps, SubtableStrategy
 from lasso_tpu.subtables.container import (CombinedTableCommitment,
                                            CombinedTableEvalProof, Subtables)
 from lasso_tpu.utils.errors import LassoError
+from lasso_tpu.utils.tracing import instrument, span
 
 
 def _next_pow2(n: int) -> int:
@@ -73,6 +74,7 @@ class SparsePolynomialEvaluationProof:
     PROTOCOL_NAME = b"Lasso SparsePolynomialEvaluationProof"
 
     @staticmethod
+    @instrument("SparsePoly.prove")
     def prove(dense: DensifiedRepresentation, r: list[int],
               gens: SparsePolyCommitmentGens, strategy: SubtableStrategy,
               transcript, random_tape) -> "SparsePolynomialEvaluationProof":
@@ -113,6 +115,7 @@ class SparsePolynomialEvaluationProof:
             memory_check=memory_check,
             strategy=strategy)
 
+    @instrument("SparsePoly.verify")
     def verify(self, commitment: SparsePolynomialCommitment, eq_randomness: list[int],
                gens: SparsePolyCommitmentGens, transcript) -> None:
         transcript.append_protocol_name(

@@ -24,6 +24,7 @@ All windows are processed batched (leading axis), so one jitted kernel per
 from __future__ import annotations
 
 import functools
+import os
 import math
 
 import jax
@@ -118,16 +119,25 @@ def _segmented_sum_sorted(points, ids, num_buckets: int):
 
 
 def _bucket_weighted_sum(buckets):
-    """sum_b (b+1) * buckets[b] via suffix scan + tree sum (buckets [B,4,W])."""
+    """sum_b (b+1) * buckets[b] via suffix scan + tree sum (buckets [B,4,W]).
+
+    Both the Hillis-Steele suffix scan and the final tree reduction run as
+    fori_loops with fixed-shape bodies so the curve-add subgraph compiles
+    once, not once per round.
+    """
     b = buckets.shape[0]
+    if b == 1:
+        return buckets[0]
     idx = jnp.arange(b)
-    x = buckets
-    stride = 1
-    while stride < b:
+    rounds = (b - 1).bit_length()
+
+    def body(i, x):
+        stride = jnp.int32(1) << i
         rolled = jnp.roll(x, -stride, axis=0)
         valid = idx < (b - stride)
-        x = pselect(valid, padd(x, rolled), x)
-        stride *= 2
+        return pselect(valid, padd(x, rolled), x)
+
+    x = jax.lax.fori_loop(0, rounds, body, buckets)
     # x[i] = sum_{j >= i} buckets[j]; total = sum_i x[i]
     return tree_sum(x)
 
@@ -172,12 +182,19 @@ def max_scalar_bits(scalar_int_limbs) -> int:
     Uses per-limb column maxima: the max scalar bit width equals
     max_j (16*j + bitlen(max of column j)) since bitlen is monotone.
     """
-    col_max = np.asarray(jax.device_get(jnp.max(scalar_int_limbs, axis=0)))
+    col_max = np.asarray(jnp.max(scalar_int_limbs, axis=0))
     val = 0
     for i, limb in enumerate(col_max):
         if limb:
             val = max(val, 16 * i + int(limb).bit_length())
     return max(val, 1)
+
+
+# MSMs below this size run on host (Python Pippenger): they are latency
+# bound -- a kernel launch (let alone a fresh XLA compile for a new shape)
+# costs more than the arithmetic.  The Bullet reduction's tail rounds and
+# verifier-side recombinations all land here; throughput MSMs stay on device.
+MSM_HOST_MAX = int(os.environ.get("LASSO_TPU_MSM_HOST_MAX", "256"))
 
 
 def msm_device(points, scalars_mont, modulus_bits: int = 253):
@@ -189,6 +206,12 @@ def msm_device(points, scalars_mont, modulus_bits: int = 253):
     assert scalars_mont.shape[0] == n
     if n == 0:
         return identity(())
+    if n <= MSM_HOST_MAX:
+        from lasso_tpu.curve.jcurve import from_host_points, to_host_points
+        host_pts = to_host_points(points)
+        host_scalars = JFr.decode(scalars_mont)
+        res = hostcurve.msm_host(host_pts, host_scalars)
+        return from_host_points([res])[0]
     scalars_int = JFr.to_int_limbs(scalars_mont)
     max_bits = max_scalar_bits(scalars_int)
     if max_bits > 60:
@@ -221,6 +244,13 @@ def msm_batch_device(points, scalars_mont_rows, modulus_bits: int = 253,
     rows, n, _ = scalars_mont_rows.shape
     if n == 0 or rows == 0:
         return identity((rows,))
+    if rows * n <= 4 * MSM_HOST_MAX:
+        from lasso_tpu.curve.jcurve import from_host_points, to_host_points
+        host_pts = to_host_points(points)
+        flat = JFr.decode(scalars_mont_rows.reshape(rows * n, W))
+        res = [hostcurve.msm_host(host_pts, flat[i * n:(i + 1) * n])
+               for i in range(rows)]
+        return from_host_points(res)
     scalars_int = JFr.to_int_limbs(scalars_mont_rows.reshape(rows * n, W))
     max_bits = max_scalar_bits(scalars_int)
     if max_bits > 60:

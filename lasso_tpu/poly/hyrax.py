@@ -21,6 +21,7 @@ from lasso_tpu.field.jfield import JFr
 from lasso_tpu.ops.msm import msm_batch_device, msm_device
 from lasso_tpu.poly.commitments import commit_scalar
 from lasso_tpu.poly.dense import DensePolynomial, eq_evals_host, factored_lens
+from lasso_tpu.utils.tracing import instrument
 from lasso_tpu.subprotocols.dot_product import (DotProductProofGens,
                                                 DotProductProofLog,
                                                 _gens_device)
@@ -47,6 +48,7 @@ class PolyCommitment:
         transcript.append_message(label, b"poly_commitment_end")
 
 
+@instrument("DensePolynomial.commit")
 def commit_poly(poly: DensePolynomial, gens: PolyCommitmentGens,
                 random_tape=None) -> tuple[PolyCommitment, list[int]]:
     """Hyrax matrix commitment. Returns (commitment, row blinds)."""

@@ -76,45 +76,75 @@ class BulletReductionProof:
         a, b, g = a_vec, b_vec, g_dev
         blinds_iter = iter(blinds_vec)
 
+        # small tail rounds run entirely on host: they are latency-bound, and
+        # per-round device kernels at shrinking shapes cost more in dispatch
+        # and compile than the arithmetic (see ops/msm.py MSM_HOST_MAX)
+        from lasso_tpu.curve.jcurve import to_host_points
+        from lasso_tpu.ops.msm import MSM_HOST_MAX
+        host_mode = False
+
         while n != 1:
             n //= 2
-            a_lo, a_hi = a[:n], a[n:]
-            b_lo, b_hi = b[:n], b[n:]
-            g_lo, g_hi = g[:n], g[n:]
+            if not host_mode and n <= MSM_HOST_MAX:
+                host_mode = True
+                a = JFr.decode(a)
+                b = JFr.decode(b)
+                g = to_host_points(g)
 
-            c_l = JFr.decode(_dot(a_lo, b_hi)[None])[0]
-            c_r = JFr.decode(_dot(a_hi, b_lo)[None])[0]
             blind_l, blind_r = next(blinds_iter)
-
-            l_scalars = jnp.concatenate(
-                [a_lo, JFr.encode_ints([c_l, blind_l])], axis=0)
-            l_bases = jnp.concatenate([g_hi, qh_dev], axis=0)
-            l_pt = to_host_point(msm_device(l_bases, l_scalars))
-
-            r_scalars = jnp.concatenate(
-                [a_hi, JFr.encode_ints([c_r, blind_r])], axis=0)
-            r_bases = jnp.concatenate([g_lo, qh_dev], axis=0)
-            r_pt = to_host_point(msm_device(r_bases, r_scalars))
+            if host_mode:
+                a_lo, a_hi = a[:n], a[n:]
+                b_lo, b_hi = b[:n], b[n:]
+                g_lo, g_hi = g[:n], g[n:]
+                c_l = sum(x * y for x, y in zip(a_lo, b_hi)) % Fr.p
+                c_r = sum(x * y for x, y in zip(a_hi, b_lo)) % Fr.p
+                l_pt = hostcurve.msm_host(
+                    g_hi + [q_point, h_point], a_lo + [c_l, blind_l])
+                r_pt = hostcurve.msm_host(
+                    g_lo + [q_point, h_point], a_hi + [c_r, blind_r])
+            else:
+                a_lo, a_hi = a[:n], a[n:]
+                b_lo, b_hi = b[:n], b[n:]
+                g_lo, g_hi = g[:n], g[n:]
+                c_l = JFr.decode(_dot(a_lo, b_hi)[None])[0]
+                c_r = JFr.decode(_dot(a_hi, b_lo)[None])[0]
+                l_scalars = jnp.concatenate(
+                    [a_lo, JFr.encode_ints([c_l, blind_l])], axis=0)
+                l_bases = jnp.concatenate([g_hi, qh_dev], axis=0)
+                l_pt = to_host_point(msm_device(l_bases, l_scalars))
+                r_scalars = jnp.concatenate(
+                    [a_hi, JFr.encode_ints([c_r, blind_r])], axis=0)
+                r_bases = jnp.concatenate([g_lo, qh_dev], axis=0)
+                r_pt = to_host_point(msm_device(r_bases, r_scalars))
 
             transcript.append_point(b"L", l_pt)
             transcript.append_point(b"R", r_pt)
             u = transcript.challenge_scalar(b"u")
             u_inv = Fr.inv(u)
 
-            u_dev = JFr.encode_scalar(u)
-            u_inv_dev = JFr.encode_scalar(u_inv)
-            a = JFr.add(JFr.mul(a_lo, u_dev), JFr.mul(a_hi, u_inv_dev))
-            b = JFr.add(JFr.mul(b_lo, u_inv_dev), JFr.mul(b_hi, u_dev))
-            g = _fold_points(g_lo, g_hi, jnp.asarray(pack_int(u_inv)),
-                             jnp.asarray(pack_int(u)))
+            if host_mode:
+                a = [(x * u + y * u_inv) % Fr.p for x, y in zip(a_lo, a_hi)]
+                b = [(x * u_inv + y * u) % Fr.p for x, y in zip(b_lo, b_hi)]
+                g = [pl.mul(u_inv).add(ph.mul(u))
+                     for pl, ph in zip(g_lo, g_hi)]
+            else:
+                u_dev = JFr.encode_scalar(u)
+                u_inv_dev = JFr.encode_scalar(u_inv)
+                a = JFr.add(JFr.mul(a_lo, u_dev), JFr.mul(a_hi, u_inv_dev))
+                b = JFr.add(JFr.mul(b_lo, u_inv_dev), JFr.mul(b_hi, u_dev))
+                g = _fold_points(g_lo, g_hi, jnp.asarray(pack_int(u_inv)),
+                                 jnp.asarray(pack_int(u)))
 
             blind_fin = (blind_fin + blind_l * u * u + blind_r * u_inv * u_inv) % Fr.p
             l_points.append(l_pt)
             r_points.append(r_pt)
 
-        a_fin = JFr.decode(a)[0]
-        b_fin = JFr.decode(b)[0]
-        g_fin = to_host_point(g[0])
+        if host_mode:
+            a_fin, b_fin, g_fin = a[0], b[0], g[0]
+        else:
+            a_fin = JFr.decode(a)[0]
+            b_fin = JFr.decode(b)[0]
+            g_fin = to_host_point(g[0])
         gamma_hat = g_fin.mul(a_fin).add(
             q_point.mul(a_fin * b_fin % Fr.p)).add(h_point.mul(blind_fin))
 

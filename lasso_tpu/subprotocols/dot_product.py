@@ -19,6 +19,7 @@ from lasso_tpu.ops.msm import msm_device
 from lasso_tpu.poly.commitments import MultiCommitGens, commit_scalar
 from lasso_tpu.subprotocols.bullet import BulletReductionProof
 from lasso_tpu.utils.errors import InvalidInputLength, LassoError
+from lasso_tpu.utils.tracing import instrument
 
 
 def _gens_device(gens: MultiCommitGens):
@@ -130,6 +131,7 @@ class DotProductProofLog:
     PROTOCOL_NAME = b"dot product proof (log)"
 
     @staticmethod
+    @instrument("DotProductProofLog.prove")
     def prove(gens: DotProductProofGens, transcript, random_tape,
               x_dev, blind_x: int, a_dev, y: int, blind_y: int):
         """x_dev, a_dev: [n, W] device Fr vectors.

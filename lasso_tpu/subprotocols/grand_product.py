@@ -21,6 +21,7 @@ from lasso_tpu.poly.dense import eq_evals_device, eq_evaluate_host
 from lasso_tpu.subprotocols.sumcheck import (SumcheckInstanceProof,
                                              prove_cubic_batched)
 from lasso_tpu.utils.errors import LassoError
+from lasso_tpu.utils.tracing import instrument
 
 
 class BatchedGrandProductCircuit:
@@ -68,6 +69,7 @@ class BatchedGrandProductArgument:
     proof: list[LayerProofBatched]
 
     @staticmethod
+    @instrument("BatchedGrandProductArgument.prove")
     def prove(circuits: BatchedGrandProductCircuit, transcript):
         """Returns (argument, rand)."""
         num_layers = circuits.num_layers

@@ -27,6 +27,7 @@ from lasso_tpu.field.host import Fr
 from lasso_tpu.field.jfield import JFr
 from lasso_tpu.poly.unipoly import CompressedUniPoly, UniPoly
 from lasso_tpu.utils.errors import LassoError
+from lasso_tpu.utils.tracing import instrument
 
 
 @functools.partial(jax.jit, static_argnames=("comb", "degree"))
@@ -51,6 +52,70 @@ def _bind_top(zs, r):
     lo = zs[:, :half]
     hi = zs[:, half:]
     return JFr.add(lo, JFr.mul(r, JFr.sub(hi, lo)))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size masked round kernels.
+#
+# Sumcheck shapes halve every round, so exact-shape kernels would trigger one
+# fresh XLA compile per round per layer per proof -- hundreds of compiles.
+# Below SUMCHECK_FIX, rounds run on a FIXED-size buffer with an active-length
+# scalar: pairing uses a dynamic roll (partner j + m/2 lands on lane j), dead
+# lanes are masked out of the column sums, and the same compiled kernel is
+# reused for every remaining round of every proof.  The wasted lanes are
+# negligible at these sizes; the large early rounds still use exact shapes.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+SUMCHECK_FIX = int(_os.environ.get("LASSO_TPU_SUMCHECK_FIX", "4096"))
+
+
+def _masked_cols(vals, m_half):
+    """Zero lanes >= m_half, then lazy column sums ([n, W] -> wide cols)."""
+    n = vals.shape[0]
+    mask = jnp.arange(n) < m_half
+    return JFr.sum_columns(jnp.where(mask[:, None], vals, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("comb", "degree"))
+def _round_evals_masked(zs, m, comb, degree: int):
+    """zs: [alpha, N_FIX, W] with active length m (traced).
+
+    Returns [degree+1, W] round-poly evals over the active half-cube."""
+    halffix = zs.shape[1] // 2
+    m_half = m // 2
+    lo = zs[:, :halffix]
+    hi = jnp.roll(zs, -m_half, axis=1)[:, :halffix]
+    cols = [_masked_cols(comb(lo), m_half), _masked_cols(comb(hi), m_half)]
+    diff = JFr.sub(hi, lo)
+    cur = hi
+    for _ in range(2, degree + 1):
+        cur = JFr.add(cur, diff)
+        cols.append(_masked_cols(comb(cur), m_half))
+    return JFr.finish_sum(jnp.stack(cols))
+
+
+@jax.jit
+def _bind_top_masked(zs, m, r):
+    """Masked bind: [a, N_FIX, W] active length m -> same shape, active m/2."""
+    fix = zs.shape[1]
+    halffix = fix // 2
+    m_half = m // 2
+    lo = zs[:, :halffix]
+    hi = jnp.roll(zs, -m_half, axis=1)[:, :halffix]
+    bound = JFr.add(lo, JFr.mul(r, JFr.sub(hi, lo)))
+    pad = jnp.zeros(bound.shape[:1] + (fix - halffix,) + bound.shape[2:],
+                    jnp.uint32)
+    return jnp.concatenate([bound, pad], axis=1)
+
+
+def _pad_to_fix(zs, fix: int):
+    n = zs.shape[1]
+    if n >= fix:
+        return zs
+    pad = jnp.zeros(zs.shape[:1] + (fix - n,) + zs.shape[2:], jnp.uint32)
+    return jnp.concatenate([zs, pad], axis=1)
 
 
 @dataclass
@@ -79,6 +144,7 @@ class SumcheckInstanceProof:
         return e, r
 
 
+@instrument("Sumcheck.prove")
 def prove_arbitrary(polys_stack, comb, degree: int, num_rounds: int, transcript):
     """Arbitrary-degree sumcheck prover over stacked tables [alpha, n, W].
 
@@ -88,18 +154,37 @@ def prove_arbitrary(polys_stack, comb, degree: int, num_rounds: int, transcript)
     zs = polys_stack
     compressed = []
     r_out: list[int] = []
+    n = zs.shape[1]
+    masked = n <= SUMCHECK_FIX
+    if masked:
+        zs = _pad_to_fix(zs, SUMCHECK_FIX)
+        m = jnp.int32(n)
     for _ in range(num_rounds):
-        eval_limbs = _round_evals(zs, comb, degree)
+        if masked:
+            eval_limbs = _round_evals_masked(zs, m, comb, degree)
+        else:
+            eval_limbs = _round_evals(zs, comb, degree)
         evals = JFr.decode(eval_limbs)
         round_poly = UniPoly.from_evals(evals)
         round_poly.append_to_transcript(b"poly", transcript)
         r_j = transcript.challenge_scalar(b"challenge_nextround")
         r_out.append(r_j)
-        zs = _bind_top(zs, JFr.encode_scalar(r_j))
+        r_dev = JFr.encode_scalar(r_j)
+        if masked:
+            zs = _bind_top_masked(zs, m, r_dev)
+            m = m // 2
+            n //= 2
+        else:
+            zs = _bind_top(zs, r_dev)
+            n //= 2
+            if n <= SUMCHECK_FIX:
+                masked = True
+                zs = _pad_to_fix(zs, SUMCHECK_FIX)
+                m = jnp.int32(n)
         compressed.append(round_poly.compress())
 
     final_evals = JFr.decode(zs[:, 0])
-    return SumcheckInstanceProof(compressed), r_out, final_evals, zs
+    return SumcheckInstanceProof(compressed), r_out, final_evals, zs[:, :n]
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -134,6 +219,52 @@ def _bind_top_single(z, r):
     return JFr.add(lo, JFr.mul(r, JFr.sub(hi, lo)))
 
 
+@jax.jit
+def _cubic_round_evals_masked(a, b, c, m):
+    """Masked fixed-size variant of _cubic_round_evals (active length m)."""
+    halffix = a.shape[1] // 2
+    m_half = m // 2
+    mask = jnp.arange(halffix) < m_half
+
+    def split(x, axis):
+        lo = jax.lax.slice_in_dim(x, 0, halffix, axis=axis)
+        hi = jax.lax.slice_in_dim(jnp.roll(x, -m_half, axis=axis),
+                                  0, halffix, axis=axis)
+        return lo, hi
+
+    a_lo, a_hi = split(a, 1)
+    b_lo, b_hi = split(b, 1)
+    c_lo, c_hi = split(c, 0)
+
+    def prod3(x, y, z):
+        return JFr.mul(JFr.mul(x, y), z)
+
+    def msum(v):  # [I, halffix, W] -> [I, wide]
+        vz = jnp.where(mask[None, :, None], v, 0)
+        return JFr.sum_columns(jnp.moveaxis(vz, 1, 0))
+
+    cols = [msum(prod3(a_lo, b_lo, c_lo[None]))]
+    a_d, b_d, c_d = JFr.sub(a_hi, a_lo), JFr.sub(b_hi, b_lo), JFr.sub(c_hi, c_lo)
+    a2, b2, c2 = JFr.add(a_hi, a_d), JFr.add(b_hi, b_d), JFr.add(c_hi, c_d)
+    cols.append(msum(prod3(a2, b2, c2[None])))
+    a3, b3, c3 = JFr.add(a2, a_d), JFr.add(b2, b_d), JFr.add(c2, c_d)
+    cols.append(msum(prod3(a3, b3, c3[None])))
+    return JFr.finish_sum(jnp.stack(cols))  # [3, I, W]
+
+
+@jax.jit
+def _bind_top_single_masked(z, m, r):
+    fix = z.shape[0]
+    halffix = fix // 2
+    m_half = m // 2
+    lo = z[:halffix]
+    hi = jnp.roll(z, -m_half, axis=0)[:halffix]
+    bound = JFr.add(lo, JFr.mul(r, JFr.sub(hi, lo)))
+    pad = jnp.zeros((fix - halffix,) + bound.shape[1:], jnp.uint32)
+    return jnp.concatenate([bound, pad], axis=0)
+
+
+@instrument("Sumcheck.prove_batched")
 def prove_cubic_batched(claim: int, num_rounds: int, a_stack, b_stack, c_poly,
                         coeffs: list[int], transcript):
     """Batched product-layer sumcheck (reference: sumcheck.rs:27-135).
@@ -149,8 +280,19 @@ def prove_cubic_batched(claim: int, num_rounds: int, a_stack, b_stack, c_poly,
     r_out: list[int] = []
     num_instances = a.shape[0]
 
+    n = a.shape[1]
+    masked = n <= SUMCHECK_FIX
+    if masked:
+        a = _pad_to_fix(a, SUMCHECK_FIX)
+        b = _pad_to_fix(b, SUMCHECK_FIX)
+        c = _pad_to_fix(c[None], SUMCHECK_FIX)[0]
+        m = jnp.int32(n)
+
     for _ in range(num_rounds):
-        evals_limbs = _cubic_round_evals(a, b, c)  # [3, I, W]
+        if masked:
+            evals_limbs = _cubic_round_evals_masked(a, b, c, m)
+        else:
+            evals_limbs = _cubic_round_evals(a, b, c)  # [3, I, W]
         flat = JFr.decode(evals_limbs.reshape(3 * num_instances, -1))
         e0 = flat[0:num_instances]
         e2 = flat[num_instances:2 * num_instances]
@@ -166,9 +308,23 @@ def prove_cubic_batched(claim: int, num_rounds: int, a_stack, b_stack, c_poly,
         r_j = transcript.challenge_scalar(b"challenge_nextround")
         r_out.append(r_j)
         r_dev = JFr.encode_scalar(r_j)
-        a = _bind_top(a, r_dev)
-        b = _bind_top(b, r_dev)
-        c = _bind_top_single(c, r_dev)
+        if masked:
+            a = _bind_top_masked(a, m, r_dev)
+            b = _bind_top_masked(b, m, r_dev)
+            c = _bind_top_single_masked(c, m, r_dev)
+            m = m // 2
+            n //= 2
+        else:
+            a = _bind_top(a, r_dev)
+            b = _bind_top(b, r_dev)
+            c = _bind_top_single(c, r_dev)
+            n //= 2
+            if n <= SUMCHECK_FIX:
+                masked = True
+                a = _pad_to_fix(a, SUMCHECK_FIX)
+                b = _pad_to_fix(b, SUMCHECK_FIX)
+                c = _pad_to_fix(c[None], SUMCHECK_FIX)[0]
+                m = jnp.int32(n)
         e = round_poly.evaluate(r_j)
         compressed.append(round_poly.compress())
 

@@ -60,9 +60,14 @@ class DeviceOps:
 
     @classmethod
     def weight(cls, w: int):
+        # cached as numpy (host) limbs: a jnp constant created inside a
+        # trace (jit/shard_map) would leak a tracer out of scope
         got = cls._weight_cache.get(w)
         if got is None:
-            got = JFr.encode_scalar(w)
+            import numpy as np
+
+            from lasso_tpu.field.jfield import pack_int
+            got = pack_int(JFr.host.to_mont(w % JFr.host.p))
             cls._weight_cache[w] = got
         return got
 

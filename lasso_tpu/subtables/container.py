@@ -20,11 +20,13 @@ from lasso_tpu.poly.dense import DensePolynomial, bound_var_bot_host
 from lasso_tpu.poly.hyrax import (PolyCommitment, PolyCommitmentGens,
                                   PolyEvalProof, commit_poly)
 from lasso_tpu.subtables.base import DeviceOps, SubtableStrategy
+from lasso_tpu.utils.tracing import instrument
 
 
 class Subtables:
     """Materialized subtables + lookup polynomials for one proof instance."""
 
+    @instrument("Subtables.construct")
     def __init__(self, strategy: SubtableStrategy, nz: jnp.ndarray, s: int):
         """nz: [C, s] int32 lookup indices (device)."""
         assert nz.shape == (strategy.c, s)
@@ -53,6 +55,7 @@ class Subtables:
         vals = [zs[i] for i in range(zs.shape[0])]
         return self.strategy.combine_lookups_eq(vals, DeviceOps)
 
+    @instrument("Subtables.compute_sumcheck_claim")
     def compute_sumcheck_claim(self, eq_table: jnp.ndarray) -> int:
         """sum_k eq[k] * g(E_1[k] .. E_alpha[k]) (reference: mod.rs:186-216)."""
         vals = [self.lookup_stack[i] for i in range(self.strategy.num_memories)]
@@ -66,6 +69,7 @@ class Subtables:
         sums = JFr.sum(jnp.moveaxis(prods, 1, 0))  # [alpha, W]
         return JFr.decode(sums)
 
+    @instrument("Subtables.commit")
     def commit(self, gens: PolyCommitmentGens) -> "CombinedTableCommitment":
         comm, _ = commit_poly(self.combined_poly, gens)
         return CombinedTableCommitment(comm)
@@ -96,6 +100,7 @@ class CombinedTableEvalProof:
     PROTOCOL_NAME = b"Lasso CombinedTableEvalProof"
 
     @staticmethod
+    @instrument("CombinedEval.prove")
     def prove(combined_poly: DensePolynomial, evals: list[int], r: list[int],
               gens: PolyCommitmentGens, transcript, random_tape
               ) -> "CombinedTableEvalProof":

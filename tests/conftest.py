@@ -1,11 +1,15 @@
 import os
 import sys
 
-# Tests run on a virtual 8-device CPU mesh so multi-chip sharding is exercised
-# without TPU hardware (the driver separately dry-runs the TPU path).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The host is a 1-core VM; the real compute device is the tunneled TPU chip,
+# so tests run on the default (TPU) backend.  Multi-chip sharding tests use a
+# separate virtual 8-device CPU mesh (jax.devices("cpu")) alongside it --
+# the config knob below must be set before the CPU client initializes.
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
