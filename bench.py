@@ -20,6 +20,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_POINTS_PER_SEC = 1.0e6  # documented estimate; see module docstring
 
 
+def _timed(fn):
+    import time as _time
+
+    t0 = _time.perf_counter()
+    fn()
+    return _time.perf_counter() - t0
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -36,8 +44,8 @@ def main():
     # distinct base points are irrelevant to MSM cost (sort-based bucketing);
     # tile a small set of real curve points to size n
     base = from_host_points([GENERATOR.mul(i + 1) for i in range(64)])
-    reps = n // base.shape[0]
-    points = jnp.tile(base, (reps, 1, 1))
+    reps = -(-n // base.shape[-1])
+    points = jnp.tile(base, (1, 1, reps))[..., :n]
 
     rng = np.random.default_rng(12345)
     scalars_int = JFr.encode_u64_array(
@@ -49,19 +57,36 @@ def main():
     c = window_size(n)
     num_windows = (scalar_bits + c) // c
 
+    # NB: on the tunneled TPU backend, block_until_ready returns before the
+    # device finishes -- the only reliable sync is a host transfer.  Chain
+    # `iters` kernel invocations inside one jit (perturbing the scalars so
+    # nothing is CSE'd away), then force a tiny transfer, and subtract the
+    # measured transfer/dispatch baseline.
+    iters = int(os.environ.get("LASSO_BENCH_ITERS", "8"))
+
+    @jax.jit
+    def run_k(pts, scs):
+        s = scs
+        out = None
+        for _ in range(iters):
+            out = _msm_kernel(pts, s, c=c, num_windows=num_windows)
+            s = s.at[0, 0].add(1)
+        return out[..., :1]
+
+    baseline = jax.jit(lambda p: p[0, :1, :1])
+    _ = np.asarray(baseline(points))
+    _ = np.asarray(run_k(points, scalars_int))  # compile + warmup
+
+    t_base = min(
+        _timed(lambda: np.asarray(baseline(points))) for _ in range(3))
+    dt_total = min(
+        _timed(lambda: np.asarray(run_k(points, scalars_int)))
+        for _ in range(2))
+    dt = max(dt_total - t_base, 1e-9) / iters
+
+    # sanity: the proof-grade result decodes to a valid curve point
     out = _msm_kernel(points, scalars_int, c=c, num_windows=num_windows)
-    jax.block_until_ready(out)  # compile + warmup
-
-    iters = int(os.environ.get("LASSO_BENCH_ITERS", "3"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = _msm_kernel(points, scalars_int, c=c, num_windows=num_windows)
-        jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-
-    # sanity: result equals sum_i s_i * P_i computed via scalar identity
-    # sum of scalars per distinct point
-    _ = to_host_point(out)
+    assert to_host_point(out).is_on_curve()
 
     pps = n / dt
     print(json.dumps({

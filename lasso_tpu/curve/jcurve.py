@@ -1,7 +1,12 @@
-"""Batched twisted Edwards curve ops on TPU.
+"""Batched twisted Edwards curve ops on TPU, limb-major layout.
 
-Points are tensors [..., 4, 16]: extended coordinates (X, Y, Z, T) over the
-base field, each coordinate 16 Montgomery limbs (see field/jfield.py).
+Points are tensors [..., 4, W, n]: extended coordinates (X, Y, Z, T) over the
+base field, each coordinate W=16 Montgomery limbs, with the BATCH of points
+on the last (lane) axis and limbs on the sublane axis.  This is the
+TPU-native layout: the fused Pallas Montgomery multiply
+(ops/field_pallas.py) reads it directly -- limbs on sublanes, batch on
+lanes -- with no transposes, and every add/sub/select is a full-width
+vector op.
 
 Because a is a QR and d a non-QR for ark-curve25519, the unified hwcd
 addition law is *complete*: P+P, P+identity and P+(-P) all flow through the
@@ -9,9 +14,9 @@ same formula.  That is the property that makes branch-free, fully vectorized
 bucket accumulation possible on the TPU -- no exceptional-case handling in
 kernels, masking with the identity point is always safe.
 
-Group-op structure: the ~10 field muls of an addition are packed into 3
-stacked mul kernel invocations (batch axes are free for the limb kernels),
-minimizing dispatch overhead and maximizing VPU occupancy.
+Group-op structure: the ~11 field muls of an addition are packed into 3
+stacked mul_lm kernel invocations (leading axes are free for the limb
+kernels), minimizing dispatch overhead and maximizing VPU occupancy.
 
 Replaces arkworks `ark-ec` group ops (reference L0) for the TPU compute path.
 """
@@ -27,27 +32,31 @@ from lasso_tpu.field import constants as K
 from lasso_tpu.field.host import Fp as HostFp
 from lasso_tpu.field.jfield import JFp, W
 
-_fadd = JFp.add
-_fsub = JFp.sub
-_fmul = JFp.mul
+_fadd = JFp.add_lm
+_fsub = JFp.sub_lm
+_fmul = JFp.mul_lm
 
-# curve constants in Montgomery form (numpy: baked into jit graphs)
-_A_M = np.asarray(JFp.encode_scalar(K.CURVE_A))
-_D_M = np.asarray(JFp.encode_scalar(K.CURVE_D))
-_ONE_M = np.asarray(JFp.mont_one)
-_ZERO = np.zeros(W, dtype=np.uint32)
+# curve constants in Montgomery form, limb-major [W, 1]
+_A_M = np.asarray(JFp.encode_scalar(K.CURVE_A)).reshape(W, 1)
+_D_M = np.asarray(JFp.encode_scalar(K.CURVE_D)).reshape(W, 1)
+_ONE_M = np.asarray(JFp.mont_one).reshape(W, 1)
+_ZERO = np.zeros((W, 1), dtype=np.uint32)
 
-IDENTITY = np.stack([_ZERO, _ONE_M, _ONE_M, _ZERO])  # [4, W]
+IDENTITY = np.stack([_ZERO, _ONE_M, _ONE_M, _ZERO])  # [4, W, 1]
 
 
-def identity(shape=()) -> jnp.ndarray:
-    if isinstance(shape, int):
-        shape = (shape,)
-    return jnp.broadcast_to(jnp.asarray(IDENTITY), tuple(shape) + (4, W))
+def identity(n=1, lead=()) -> jnp.ndarray:
+    """Identity points: [*lead, 4, W, n]."""
+    return jnp.broadcast_to(jnp.asarray(IDENTITY), tuple(lead) + (4, W, n))
+
+
+def num_points(p) -> int:
+    return p.shape[-1]
 
 
 def _coords(p):
-    return p[..., 0, :], p[..., 1, :], p[..., 2, :], p[..., 3, :]
+    return (p[..., 0, :, :], p[..., 1, :, :],
+            p[..., 2, :, :], p[..., 3, :, :])
 
 
 def padd(p, q):
@@ -77,7 +86,7 @@ def padd(p, q):
     h = _fsub(b_, a_a)
 
     w = _fmul(jnp.stack([e, g, f, e]), jnp.stack([f, h, g, h]))
-    return jnp.stack([w[0], w[1], w[2], w[3]], axis=-2)
+    return jnp.stack([w[0], w[1], w[2], w[3]], axis=-3)
 
 
 def pdbl(p):
@@ -93,17 +102,17 @@ def pdbl(p):
     f = _fsub(g, c_)
     h = _fsub(a_a, b_)
     w = _fmul(jnp.stack([e, g, f, e]), jnp.stack([f, h, g, h]))
-    return jnp.stack([w[0], w[1], w[2], w[3]], axis=-2)
+    return jnp.stack([w[0], w[1], w[2], w[3]], axis=-3)
 
 
 def pneg(p):
     x, y, z, t = _coords(p)
-    return jnp.stack([JFp.neg(x), y, z, JFp.neg(t)], axis=-2)
+    return jnp.stack([JFp.neg_lm(x), y, z, JFp.neg_lm(t)], axis=-3)
 
 
 def pselect(mask, p, q):
-    """mask [...] bool -> p where true else q."""
-    return jnp.where(mask[..., None, None], p, q)
+    """mask [..., n] bool -> p where true else q (points [..., 4, W, n])."""
+    return jnp.where(mask[..., None, None, :], p, q)
 
 
 padd_jit = jax.jit(padd)
@@ -111,40 +120,38 @@ pdbl_jit = jax.jit(pdbl)
 
 
 def tree_sum(points) -> jnp.ndarray:
-    """Sum points along axis 0: [n, ..., 4, W] -> [..., 4, W] (log n adds).
+    """Sum points along the batch axis: [..., 4, W, n] -> [..., 4, W, 1].
 
-    The log(n) halving rounds run inside one fori_loop with a fixed-shape
-    body (mask + dynamic roll), so the curve-addition subgraph is compiled
-    ONCE per shape instead of once per round -- compile time is the scarce
-    resource for these deeply-unrolled limb kernels, runtime is the same
-    log(n) batched adds.
+    log(n) halving rounds inside one fori_loop with a fixed-shape body
+    (mask + dynamic roll), so the curve-addition subgraph is compiled ONCE
+    per shape instead of once per round.
     """
-    n = points.shape[0]
+    n = points.shape[-1]
     if n == 0:
-        return identity(points.shape[1:-2])
+        return identity(1, points.shape[:-3])
     pow2 = 1 << (n - 1).bit_length()
     if pow2 != n:
-        pad = identity((pow2 - n,) + points.shape[1:-2])
-        points = jnp.concatenate([points, pad], axis=0)
+        pad = identity(pow2 - n, points.shape[:-3])
+        points = jnp.concatenate([points, pad], axis=-1)
     return _tree_sum_jit(points)
 
 
 @jax.jit
 def _tree_sum_jit(points):
-    n = points.shape[0]
+    n = points.shape[-1]
     if n == 1:
-        return points[0]
+        return points
     rounds = (n - 1).bit_length()
     idx = jnp.arange(n)
 
     def body(i, pts):
         half = n >> (i + 1)
         active = idx < half
-        partner = jnp.roll(pts, -half, axis=0)
+        partner = jnp.roll(pts, -half, axis=-1)
         return pselect(active, padd(pts, partner), pts)
 
     points = jax.lax.fori_loop(0, rounds, body, points)
-    return points[0]
+    return points[..., :1]
 
 
 # ---------------------------------------------------------------------------
@@ -152,7 +159,7 @@ def _tree_sum_jit(points):
 # ---------------------------------------------------------------------------
 
 def from_host_points(points: list[hostcurve.Point]) -> jnp.ndarray:
-    """Host points -> [n, 4, W] device tensor (normalized to Z=1 first so the
+    """Host points -> [4, W, n] device tensor (normalized to Z=1 first so the
     encode is cheap and T = X*Y)."""
     n = len(points)
     zinvs = HostFp.batch_inv([p.z for p in points])
@@ -163,11 +170,13 @@ def from_host_points(points: list[hostcurve.Point]) -> jnp.ndarray:
         rows.append((x, y, 1, x * y % HostFp.p))
     flat = [c for row in rows for c in row]
     enc = JFp.encode_ints(flat)  # [4n, W]
-    return enc.reshape(n, 4, W)
+    return jnp.transpose(enc.reshape(n, 4, W), (1, 2, 0))
 
 
 def to_host_points(arr) -> list[hostcurve.Point]:
-    flat = arr.reshape(-1, W)
+    """[.., 4, W, n] -> host points (leading dims flattened batch-first)."""
+    n = arr.shape[-1]
+    flat = jnp.moveaxis(arr.reshape(-1, 4, W, n), -1, 1).reshape(-1, W)
     vals = JFp.decode(flat)
     out = []
     for i in range(0, len(vals), 4):
@@ -176,4 +185,4 @@ def to_host_points(arr) -> list[hostcurve.Point]:
 
 
 def to_host_point(arr) -> hostcurve.Point:
-    return to_host_points(arr.reshape(1, 4, W))[0]
+    return to_host_points(arr.reshape(4, W, -1))[0]

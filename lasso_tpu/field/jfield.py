@@ -35,6 +35,30 @@ W = K.NUM_LIMBS  # 16 limbs
 B = K.LIMB_BITS  # 16 bits
 MASK = K.LIMB_MASK
 
+_PALLAS_MUL: bool | None = None
+
+
+def _use_pallas_mul() -> bool:
+    """Fused Pallas multiply on TPU; XLA elementwise elsewhere.
+
+    LASSO_TPU_PALLAS=1/0 forces it on/off (it also runs under CPU interpret
+    mode for debugging, but the XLA path is faster there)."""
+    global _PALLAS_MUL
+    if _PALLAS_MUL is None:
+        import os
+
+        env = os.environ.get("LASSO_TPU_PALLAS", "auto")
+        if env in ("0", "off"):
+            _PALLAS_MUL = False
+        elif env in ("1", "on"):
+            _PALLAS_MUL = True
+        else:
+            try:
+                _PALLAS_MUL = jax.default_backend() == "tpu"
+            except Exception:
+                _PALLAS_MUL = False
+    return _PALLAS_MUL
+
 
 # ---------------------------------------------------------------------------
 # packing helpers (host <-> limb tensors)
@@ -205,6 +229,59 @@ def _split_shift_renorm(cols):
             + jnp.concatenate([z, hi], axis=-1))
 
 
+# ---------------------------------------------------------------------------
+# limb-major variants: limbs on axis -2, batch on axis -1 ([..., W, n]).
+# This is the TPU-native layout for the curve/MSM layer: limbs sit on
+# sublanes, batch elements on lanes, so the fused Pallas multiply needs no
+# transposes and every add/sub is a full-width vector op.
+# ---------------------------------------------------------------------------
+
+def _carry_prop_u32_lm(x):
+    c = jnp.zeros_like(x[..., 0, :])
+    outs = []
+    for j in range(x.shape[-2]):
+        v = x[..., j, :] + c
+        outs.append(v & MASK)
+        c = v >> B
+    return jnp.stack(outs, axis=-2)
+
+
+def _carry_prop_i32_lm(x):
+    c = jnp.zeros_like(x[..., 0, :])
+    outs = []
+    for j in range(x.shape[-2]):
+        v = x[..., j, :] + c
+        outs.append(v & MASK)
+        c = v >> B
+    return jnp.stack(outs, axis=-2)
+
+
+def _cond_sub_lm(x, m_limbs):
+    xi = x.astype(jnp.int32)
+    borrow = jnp.zeros_like(xi[..., 0, :])
+    diffs = []
+    for j in range(W):
+        v = xi[..., j, :] - np.int32(m_limbs[j]) - borrow
+        diffs.append(v & MASK)
+        borrow = (v >> 31) & 1
+    diff = jnp.stack(diffs, axis=-2)
+    take = (borrow == 0)[..., None, :]
+    return jnp.where(take, diff, xi).astype(jnp.uint32)
+
+
+def _add_lm(a, b, p_limbs):
+    s = _carry_prop_u32_lm(a + b)
+    return _cond_sub_lm(s, p_limbs)
+
+
+def _sub_lm(a, b, p_limbs):
+    d = (a.astype(jnp.int32) - b.astype(jnp.int32)
+         + np.asarray(p_limbs, np.int32)[:, None])
+    d = jnp.broadcast_to(d, jnp.broadcast_shapes(a.shape, b.shape))
+    s = _carry_prop_i32_lm(d).astype(jnp.uint32)
+    return _cond_sub_lm(s, p_limbs)
+
+
 def _canon_wide(x, p_shifts):
     """Reduce a canonical-limbed value < 2^256 to [0, p): conditional subtract
     8p, 4p, 2p, p (each p_shift = limbs of p << k)."""
@@ -240,9 +317,58 @@ class JField:
 
         self.add = jax.jit(functools.partial(_add, p_limbs=self.p_limbs))
         self.sub = jax.jit(functools.partial(_sub, p_limbs=self.p_limbs))
-        self.mul = jax.jit(functools.partial(_mont_mul, p_limbs=self.p_limbs, n0inv=self.n0inv))
+        self._mul_xla = jax.jit(functools.partial(_mont_mul, p_limbs=self.p_limbs, n0inv=self.n0inv))
+        self._add_lm = jax.jit(functools.partial(_add_lm, p_limbs=self.p_limbs))
+        self._sub_lm = jax.jit(functools.partial(_sub_lm, p_limbs=self.p_limbs))
+        self._mul_lm_xla = jax.jit(
+            lambda a, b: jnp.moveaxis(
+                _mont_mul(jnp.moveaxis(a, -2, -1), jnp.moveaxis(b, -2, -1),
+                          self.p_limbs, self.n0inv), -1, -2))
         self._canon = jax.jit(functools.partial(_canon_wide, p_shifts=self.p_shifts))
         self._sum = jax.jit(self._sum_impl)
+
+    def mul(self, a, b) -> jnp.ndarray:
+        """Montgomery product; the fused Pallas kernel when lowering for
+        TPU (ops/field_pallas.py), XLA elementwise otherwise.  The platform
+        branch is resolved at lowering time so the same code works inside
+        CPU-mesh shard_maps and on the TPU."""
+        if not _use_pallas_mul():
+            return self._mul_xla(a, b)
+        from lasso_tpu.ops.field_pallas import mont_mul_pallas
+
+        def _pallas(x, y):
+            return mont_mul_pallas(x, y, self.p_limbs, self.n0inv)
+
+        try:
+            return jax.lax.platform_dependent(
+                a, b, tpu=_pallas, default=self._mul_xla)
+        except Exception:
+            return self._mul_xla(a, b)
+
+    # -- limb-major ops ([..., W, n]: limbs on sublanes, batch on lanes) ------
+    def add_lm(self, a, b) -> jnp.ndarray:
+        return self._add_lm(a, b)
+
+    def sub_lm(self, a, b) -> jnp.ndarray:
+        return self._sub_lm(a, b)
+
+    def mul_lm(self, a, b) -> jnp.ndarray:
+        """Limb-major Montgomery product (the curve/MSM hot path)."""
+        if not _use_pallas_mul():
+            return self._mul_lm_xla(a, b)
+        from lasso_tpu.ops.field_pallas import mont_mul_lm
+
+        def _pallas(x, y):
+            return mont_mul_lm(x, y, self.p_limbs, self.n0inv)
+
+        try:
+            return jax.lax.platform_dependent(
+                a, b, tpu=_pallas, default=self._mul_lm_xla)
+        except Exception:
+            return self._mul_lm_xla(a, b)
+
+    def neg_lm(self, a) -> jnp.ndarray:
+        return self.sub_lm(jnp.zeros_like(a), a)
 
     # -- constructors -------------------------------------------------------
     def encode_ints(self, xs) -> jnp.ndarray:

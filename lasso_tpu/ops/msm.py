@@ -87,9 +87,9 @@ def _extract_digits(scalars, c: int, num_windows: int):
 
 
 def _segmented_sum_sorted(points, ids, num_buckets: int):
-    """points [n,4,W] sorted by ids [n]; returns per-bucket sums [num_buckets+1,4,W]
-    (last slot is the sentinel bucket, to be dropped)."""
-    n = points.shape[0]
+    """points [4,W,n] sorted by ids [n]; returns per-bucket sums
+    [4,W,num_buckets+1] (last slot is the sentinel bucket, to be dropped)."""
+    n = points.shape[-1]
     idx = jnp.arange(n)
 
     def same_at(x_ids, stride):
@@ -103,7 +103,7 @@ def _segmented_sum_sorted(points, ids, num_buckets: int):
     def body(state):
         pts, stride = state
         same = same_at(ids, stride)
-        rolled = jnp.roll(pts, stride, axis=0)
+        rolled = jnp.roll(pts, stride, axis=-1)
         pts = pselect(same, padd(pts, rolled), pts)
         return pts, stride * 2
 
@@ -113,8 +113,8 @@ def _segmented_sum_sorted(points, ids, num_buckets: int):
     next_ids = jnp.concatenate([ids[1:], jnp.full((1,), -1, ids.dtype)])
     is_last = ids != next_ids
     scatter_ids = jnp.where(is_last, ids, num_buckets)
-    vals = pselect(is_last, pts, identity((n,)))
-    buckets = identity((num_buckets + 1,)).at[scatter_ids].set(vals)
+    vals = pselect(is_last, pts, identity(n))
+    buckets = identity(num_buckets + 1).at[..., scatter_ids].set(vals)
     return buckets
 
 
@@ -125,15 +125,15 @@ def _bucket_weighted_sum(buckets):
     fori_loops with fixed-shape bodies so the curve-add subgraph compiles
     once, not once per round.
     """
-    b = buckets.shape[0]
+    b = buckets.shape[-1]
     if b == 1:
-        return buckets[0]
+        return buckets
     idx = jnp.arange(b)
     rounds = (b - 1).bit_length()
 
     def body(i, x):
         stride = jnp.int32(1) << i
-        rolled = jnp.roll(x, -stride, axis=0)
+        rolled = jnp.roll(x, -stride, axis=-1)
         valid = idx < (b - stride)
         return pselect(valid, padd(x, rolled), x)
 
@@ -144,24 +144,25 @@ def _bucket_weighted_sum(buckets):
 
 @functools.partial(jax.jit, static_argnames=("c", "num_windows"))
 def _msm_kernel(points, scalars, c: int, num_windows: int):
-    """points [n,4,W] (extended, Montgomery limbs); scalars [n,W] canonical
-    integer limbs. Returns [4,W] point."""
-    n = points.shape[0]
+    """points [4,W,n] (extended, Montgomery limbs); scalars [n,W] canonical
+    integer limbs. Returns [4,W,1] point."""
+    n = points.shape[-1]
     half = 1 << (c - 1)
 
     bucket_ids, is_neg = _extract_digits(scalars, c, num_windows)  # [k, n]
-    signed_pts = jnp.where(is_neg[:, :, None, None], pneg(points)[None], points[None])
-    signed_pts = jnp.broadcast_to(signed_pts, (num_windows, n, 4, W))
+    signed_pts = jnp.where(is_neg[:, None, None, :], pneg(points)[None],
+                           points[None])  # [k, 4, W, n]
 
     order = jnp.argsort(bucket_ids, axis=1)  # [k, n]
     sorted_ids = jnp.take_along_axis(bucket_ids, order, axis=1)
-    sorted_pts = jnp.take_along_axis(signed_pts, order[:, :, None, None], axis=1)
+    sorted_pts = jnp.take_along_axis(
+        signed_pts, order[:, None, None, :], axis=-1)
 
     window_sums = jax.vmap(
         lambda p, i: _bucket_weighted_sum(
-            _segmented_sum_sorted(p, i, half)[:half]
+            _segmented_sum_sorted(p, i, half)[..., :half]
         )
-    )(sorted_pts, sorted_ids)  # [k, 4, W]
+    )(sorted_pts, sorted_ids)  # [k, 4, W, 1]
 
     # Horner from the top window down: total = ((W_{k-1} * 2^c) + W_{k-2}) ...
     # fori_loops keep the HLO graph small (one pdbl/padd body instead of
@@ -202,16 +203,16 @@ def msm_device(points, scalars_mont, modulus_bits: int = 253):
 
     Returns a device point [4, W].
     """
-    n = points.shape[0]
+    n = points.shape[-1]
     assert scalars_mont.shape[0] == n
     if n == 0:
-        return identity(())
+        return identity(1)
     if n <= MSM_HOST_MAX:
         from lasso_tpu.curve.jcurve import from_host_points, to_host_points
         host_pts = to_host_points(points)
         host_scalars = JFr.decode(scalars_mont)
         res = hostcurve.msm_host(host_pts, host_scalars)
-        return from_host_points([res])[0]
+        return from_host_points([res])
     scalars_int = JFr.to_int_limbs(scalars_mont)
     max_bits = max_scalar_bits(scalars_int)
     if max_bits > 60:
@@ -243,14 +244,15 @@ def msm_batch_device(points, scalars_mont_rows, modulus_bits: int = 253,
     """
     rows, n, _ = scalars_mont_rows.shape
     if n == 0 or rows == 0:
-        return identity((rows,))
+        return identity(1, (rows,))
     if rows * n <= 4 * MSM_HOST_MAX:
         from lasso_tpu.curve.jcurve import from_host_points, to_host_points
         host_pts = to_host_points(points)
         flat = JFr.decode(scalars_mont_rows.reshape(rows * n, W))
         res = [hostcurve.msm_host(host_pts, flat[i * n:(i + 1) * n])
                for i in range(rows)]
-        return from_host_points(res)
+        # [rows, 4, W, 1] to match the device branch
+        return jnp.moveaxis(from_host_points(res), -1, 0)[..., None]
     scalars_int = JFr.to_int_limbs(scalars_mont_rows.reshape(rows * n, W))
     max_bits = max_scalar_bits(scalars_int)
     if max_bits > 60:

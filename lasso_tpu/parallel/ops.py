@@ -160,12 +160,14 @@ def sharded_msm_partials(mesh: Mesh, points, scalars_int, c: int,
     from lasso_tpu.ops.msm import _msm_kernel
 
     @functools.partial(
-        shard_map, mesh=mesh, check_vma=False, in_specs=(P(AXIS), P(AXIS)), out_specs=P())
+        shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(None, None, AXIS), P(AXIS)), out_specs=P())
     def _go(pts, scs):
         local = _msm_kernel(pts, scs, c=c, num_windows=num_windows)
-        return jax.lax.all_gather(local, AXIS)  # [D, 4, W]
+        return jax.lax.all_gather(local[..., 0], AXIS)  # [D, 4, W]
 
-    return _go(_put(mesh, points, P(AXIS)), _put(mesh, scalars_int, P(AXIS)))
+    return _go(_put(mesh, points, P(None, None, AXIS)),
+               _put(mesh, scalars_int, P(AXIS)))
 
 
 def sharded_msm(mesh: Mesh, points, scalars_mont, modulus_bits: int = 253):
@@ -173,7 +175,7 @@ def sharded_msm(mesh: Mesh, points, scalars_mont, modulus_bits: int = 253):
     from lasso_tpu.curve.jcurve import tree_sum
     from lasso_tpu.ops.msm import max_scalar_bits, window_size
 
-    n = points.shape[0]
+    n = points.shape[-1]
     d = mesh.devices.size
     scalars_int = JFr.to_int_limbs(scalars_mont)
     max_bits = max_scalar_bits(scalars_int)
@@ -182,7 +184,7 @@ def sharded_msm(mesh: Mesh, points, scalars_mont, modulus_bits: int = 253):
     c = window_size(max(n // d, 2))
     num_windows = (max_bits + c) // c
     partials = sharded_msm_partials(mesh, points, scalars_int, c, num_windows)
-    return tree_sum(partials)
+    return tree_sum(jnp.moveaxis(partials, 0, -1))  # [4, W, 1]
 
 
 def sharded_grand_product_layer(mesh: Mesh, inputs):

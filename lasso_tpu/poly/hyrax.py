@@ -63,7 +63,7 @@ def commit_poly(poly: DensePolynomial, gens: PolyCommitmentGens,
         blinds = [0] * l_size
 
     gens_n = gens.gens.gens_n
-    bases = _gens_device(gens_n)[:r_size]
+    bases = _gens_device(gens_n)[..., :r_size]
     rows = poly.z.reshape(l_size, r_size, -1)
     row_pts = msm_batch_device(bases, rows)  # [l_size, 4, W]
     points = [to_host_point(row_pts[i]) for i in range(l_size)]

@@ -25,17 +25,21 @@ from lasso_tpu.utils.errors import InputTooLarge, InvalidInputLength
 
 @jax.jit
 def scalar_mul_batch(points, scalar_int_limbs):
-    """All points times one scalar (canonical integer limbs [W])."""
+    """All points times one scalar (canonical integer limbs [W]).
+
+    points: [..., 4, W, n] limb-major."""
 
     def body(j, state):
         acc, base = state
         bit = (jnp.take(scalar_int_limbs, j // 16) >> (j % 16)) & 1
-        mask = jnp.broadcast_to(bit != 0, acc.shape[:-2])
+        mask = jnp.broadcast_to(bit != 0,
+                                acc.shape[:-3] + (acc.shape[-1],))
         acc = pselect(mask, padd(acc, base), acc)
         return acc, pdbl(base)
 
     acc, _ = lax.fori_loop(
-        0, 256, body, (identity(points.shape[:-2]), points))
+        0, 256, body,
+        (identity(points.shape[-1], points.shape[:-3]), points))
     return acc
 
 
@@ -105,16 +109,16 @@ class BulletReductionProof:
             else:
                 a_lo, a_hi = a[:n], a[n:]
                 b_lo, b_hi = b[:n], b[n:]
-                g_lo, g_hi = g[:n], g[n:]
+                g_lo, g_hi = g[..., :n], g[..., n:]
                 c_l = JFr.decode(_dot(a_lo, b_hi)[None])[0]
                 c_r = JFr.decode(_dot(a_hi, b_lo)[None])[0]
                 l_scalars = jnp.concatenate(
                     [a_lo, JFr.encode_ints([c_l, blind_l])], axis=0)
-                l_bases = jnp.concatenate([g_hi, qh_dev], axis=0)
+                l_bases = jnp.concatenate([g_hi, qh_dev], axis=-1)
                 l_pt = to_host_point(msm_device(l_bases, l_scalars))
                 r_scalars = jnp.concatenate(
                     [a_hi, JFr.encode_ints([c_r, blind_r])], axis=0)
-                r_bases = jnp.concatenate([g_lo, qh_dev], axis=0)
+                r_bases = jnp.concatenate([g_lo, qh_dev], axis=-1)
                 r_pt = to_host_point(msm_device(r_bases, r_scalars))
 
             transcript.append_point(b"L", l_pt)
@@ -144,7 +148,7 @@ class BulletReductionProof:
         else:
             a_fin = JFr.decode(a)[0]
             b_fin = JFr.decode(b)[0]
-            g_fin = to_host_point(g[0])
+            g_fin = to_host_point(g[..., :1])
         gamma_hat = g_fin.mul(a_fin).add(
             q_point.mul(a_fin * b_fin % Fr.p)).add(h_point.mul(blind_fin))
 

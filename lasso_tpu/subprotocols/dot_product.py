@@ -23,8 +23,9 @@ from lasso_tpu.utils.tracing import instrument
 
 
 def _gens_device(gens: MultiCommitGens):
+    """Device bases [4, W, n+1] (generators + h), cached on the gens."""
     dev = getattr(gens, "_device_cache", None)
-    if dev is None or dev.shape[0] != gens.n + 1:
+    if dev is None or dev.shape[-1] != gens.n + 1:
         dev = from_host_points(gens.G + [gens.h])
         gens._device_cache = dev
     return dev
@@ -159,7 +160,7 @@ class DotProductProofLog:
         transcript.append_scalars(b"a", a_ints)
 
         blind_gamma = (blind_x + blind_y) % Fr.p
-        g_dev = _gens_device(gens.gens_n)[: gens.n]
+        g_dev = _gens_device(gens.gens_n)[..., : gens.n]
         (bullet_proof, _gamma_hat, x_hat, a_hat, g_hat, rhat_gamma) = \
             BulletReductionProof.prove(
                 transcript, gens.gens_1.G[0], g_dev, gens.gens_n.h,
@@ -189,7 +190,7 @@ class DotProductProofLog:
         transcript.append_scalars(b"a", a)
 
         gamma = cx.add(cy)
-        g_dev = _gens_device(gens.gens_n)[: gens.n]
+        g_dev = _gens_device(gens.gens_n)[..., : gens.n]
         g_hat, gamma_hat, a_hat = self.bullet_reduction_proof.verify(
             n, a, transcript, gamma, g_dev)
 

@@ -21,7 +21,7 @@ def test_device_add_double_matches_host():
     pts = _rand_points(6)
     dev = jcurve.from_host_points(pts)
     # pairwise adds
-    got = jcurve.to_host_points(jcurve.padd(dev[0::2], dev[1::2]))
+    got = jcurve.to_host_points(jcurve.padd(dev[..., 0::2], dev[..., 1::2]))
     expected = [pts[i].add(pts[i + 1]) for i in range(0, 6, 2)]
     assert got == expected
     # doubling
@@ -30,7 +30,7 @@ def test_device_add_double_matches_host():
     # unified add handles doubling and identity
     got3 = jcurve.to_host_points(jcurve.padd(dev, dev))
     assert got3 == [p.double() for p in pts]
-    ident = jcurve.identity((6,))
+    ident = jcurve.identity(6)
     got4 = jcurve.to_host_points(jcurve.padd(dev, ident))
     assert got4 == pts
     # negation
@@ -48,13 +48,29 @@ def test_tree_sum():
     assert total == expected
 
 
-def _check_msm(n, scalars, seed=0):
+def _check_msm(n, scalars, seed=0, monkeypatch=None):
     pts = _rand_points(n)
     dev_pts = jcurve.from_host_points(pts)
     dev_scalars = JFr.encode_ints(scalars)
-    got = jmsm.msm(dev_pts, dev_scalars)
+    # force the DEVICE kernel (otherwise small sizes route to the host
+    # Pippenger and the test compares host against host)
+    saved = jmsm.MSM_HOST_MAX
+    jmsm.MSM_HOST_MAX = 0
+    try:
+        got = jmsm.msm(dev_pts, dev_scalars)
+    finally:
+        jmsm.MSM_HOST_MAX = saved
     expected = msm_host(pts, scalars)
     assert got == expected, f"MSM mismatch n={n}"
+
+
+def test_msm_host_pippenger_vs_naive():
+    from lasso_tpu.curve.host import msm_host_naive
+    rng = random.Random(11)
+    pts = _rand_points(9)
+    scalars = [rng.randrange(Fr.p) for _ in range(9)]
+    scalars[0] = 0
+    assert msm_host(pts, scalars) == msm_host_naive(pts, scalars)
 
 
 def test_msm_small_scalars():
