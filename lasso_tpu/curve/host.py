@@ -81,6 +81,9 @@ class Point:
 
     def mul(self, k: int) -> "Point":
         k %= Fr.p
+        if _native_curve():
+            from lasso_tpu import native
+            return native.point_mul(self, k)
         acc = Point.identity()
         base = self
         while k:
@@ -176,6 +179,20 @@ def msm_host_naive(points: list[Point], scalars: list[int]) -> Point:
     return acc
 
 
+_NATIVE_CURVE = None
+
+
+def _native_curve() -> bool:
+    global _NATIVE_CURVE
+    if _NATIVE_CURVE is None:
+        try:
+            from lasso_tpu import native
+            _NATIVE_CURVE = native.available()
+        except Exception:
+            _NATIVE_CURVE = False
+    return _NATIVE_CURVE
+
+
 def msm_host(points: list[Point], scalars: list[int]) -> Point:
     """Host Pippenger MSM over Python bigints.
 
@@ -193,6 +210,9 @@ def msm_host(points: list[Point], scalars: list[int]) -> Point:
     if n == 0:
         return Point.identity()
     scalars = [s % Fr.p for s in scalars]
+    if _native_curve():
+        from lasso_tpu import native
+        return native.msm(points, scalars)
     max_bits = max((s.bit_length() for s in scalars), default=1) or 1
     if n < 32:
         c = 3

@@ -129,8 +129,15 @@ class BulletReductionProof:
             if host_mode:
                 a = [(x * u + y * u_inv) % Fr.p for x, y in zip(a_lo, a_hi)]
                 b = [(x * u_inv + y * u) % Fr.p for x, y in zip(b_lo, b_hi)]
-                g = [pl.mul(u_inv).add(ph.mul(u))
-                     for pl, ph in zip(g_lo, g_hi)]
+                try:
+                    from lasso_tpu import native
+                    folded = native.fold_points(g_lo + g_hi, u, u_inv) \
+                        if native.available() else None
+                except Exception:
+                    folded = None
+                g = folded if folded is not None else [
+                    pl.mul(u_inv).add(ph.mul(u))
+                    for pl, ph in zip(g_lo, g_hi)]
             else:
                 u_dev = JFr.encode_scalar(u)
                 u_inv_dev = JFr.encode_scalar(u_inv)

@@ -20,8 +20,24 @@ def _rotl32(v: int, n: int) -> int:
     return ((v << n) | (v >> (32 - n))) & _M32
 
 
+_NATIVE = None
+
+
 def chacha_block(key_words, counter: int, nonce_words, rounds: int):
-    """One ChaCha block: 16 output u32 words (64-bit LE counter variant)."""
+    """One ChaCha block: 16 output u32 words (64-bit LE counter variant).
+
+    Routed to the native core when built; Python below is the oracle."""
+    global _NATIVE
+    if _NATIVE is not False:
+        try:
+            from lasso_tpu import native
+            out = native.chacha_block(key_words, counter, nonce_words, rounds)
+            if out is not None:
+                _NATIVE = True
+                return out
+        except Exception:
+            pass
+        _NATIVE = False
     st = [
         0x61707865, 0x3320646E, 0x79622D32, 0x6B206574,
         *key_words,

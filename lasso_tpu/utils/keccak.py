@@ -38,8 +38,24 @@ def _rol(v: int, n: int) -> int:
     return ((v << n) | (v >> (64 - n))) & _MASK
 
 
+_NATIVE = None
+
+
 def keccak_f1600(state: bytearray) -> None:
-    """In-place Keccak-f[1600] on a 200-byte state (little-endian lanes)."""
+    """In-place Keccak-f[1600] on a 200-byte state (little-endian lanes).
+
+    Routed to the native core (native/host_crypto.cpp) when built; the pure
+    Python path below is the oracle and fallback."""
+    global _NATIVE
+    if _NATIVE is not False:
+        try:
+            from lasso_tpu import native
+            if native.keccak_f1600(state):
+                _NATIVE = True
+                return
+        except Exception:
+            pass
+        _NATIVE = False
     assert len(state) == 200
     # lanes[x][y]
     lanes = [[int.from_bytes(state[8 * (x + 5 * y): 8 * (x + 5 * y) + 8], "little")
