@@ -311,6 +311,7 @@ class JField:
         self.p_shifts = tuple(shifts)
 
         self.r2_limbs = pack_int(host.r2)  # R^2 mod p (for encoding)
+        self.r3_limbs = pack_int(host.r2 * host.r % p)  # R^3 mod p (challenge reduction)
         self.one_limbs = pack_int(1)  # literal 1 (for decoding)
         self.mont_one = pack_int(host.r % p)  # field one in Montgomery form
         self.zero_limbs = pack_int(0)

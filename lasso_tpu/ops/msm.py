@@ -3,22 +3,25 @@
 Replaces the reference's hand-rolled MSM (reference: src/msm/mod.rs) with a
 formulation built for a vector machine rather than scalar cores:
 
-  * signed digit decomposition (wNAF-style recentering, negation is cheap on
-    twisted Edwards) -- same windowing policy as the reference, including the
-    small-scalar optimization: windows are sized to the actual max bit width
-    of the scalars, bailing to full width past 60 bits
-    (reference: src/msm/mod.rs:96-116).
-  * bucket accumulation WITHOUT scatter-add contention: sort points by bucket
-    id, then a segmented Hillis-Steele scan of curve additions reduces every
-    equal-bucket run in parallel; a `while_loop` exits after
-    ceil(log2(longest run)) rounds, so uniform digit distributions cost
-    ~log(n/#buckets) batched adds instead of n sequential ones.
-  * bucket weighted sum  sum_b b*B_b  as a suffix-scan + tree reduction
-    (log #buckets batched adds), replacing the reference's serial running sum.
+  * unsigned digit decomposition with FAT, EQUALIZED windows (window_plan):
+    like the reference's small-scalar optimization, windows cover only the
+    actual max scalar bit width (reference: src/msm/mod.rs:96-116), but c is
+    pushed as high as the bucket budget allows -- on a vector machine the
+    segmented scan's cost is rounds*n where rounds ~ log(n) - c, so fewer,
+    fatter windows beat wNAF's halved bucket count (whose nearly-empty
+    carry window would drag the vmapped scan to ~log(n) rounds).
+  * bucket accumulation WITHOUT scatter-add contention: sort points by
+    bucket id (gathered point-major so rows are contiguous 256B reads),
+    then a segmented Hillis-Steele scan of curve additions reduces every
+    equal-bucket run in parallel; the `while_loop` exits after
+    ceil(log2(longest run)) rounds.
+  * bucket weighted sum  sum_b b*B_b  as a suffix-scan + tree reduction in
+    fixed-shape fori_loops (compile-once).
   * window combine by Horner with c doublings per step.
 
 All windows are processed batched (leading axis), so one jitted kernel per
-(n, c, #windows) configuration covers the whole MSM.
+(n, c, #windows) configuration covers the whole MSM; small MSMs route to
+the native host Pippenger (MSM_HOST_MAX).
 """
 
 from __future__ import annotations
@@ -49,41 +52,45 @@ def window_size(n: int) -> int:
     return min(_ln_without_floats(n) + 2, 16)
 
 
+def window_plan(n: int, max_bits: int) -> tuple[int, int]:
+    """(c, num_windows) for the unsigned-digit kernel.
+
+    Maximize c (fewer, fatter windows -> shorter equal-digit runs in the
+    segmented scan) subject to the bucket array staying comfortably below n,
+    then equalize digit widths across windows so no window's runs dominate
+    the vmapped scan."""
+    if n < 2:
+        return 3, (max_bits + 2) // 3
+    c_cap = min(16, max(3, n.bit_length() - 3))
+    num_windows = -(-max_bits // c_cap)
+    c = -(-max_bits // num_windows)
+    return max(c, 3), num_windows
+
+
 def _extract_digits(scalars, c: int, num_windows: int):
-    """Signed base-2^c digits of canonical integer limbs [n, W].
+    """Unsigned base-2^c digits of canonical integer limbs [n, W].
 
-    Returns (bucket_ids [k, n] int32 with sentinel 2^(c-1) for digit 0,
-             is_neg [k, n] bool).
-    Digits lie in [-2^(c-1), 2^(c-1)]; bucket id = |digit| - 1.
+    Returns bucket_ids [k, n] int32: digit-1, with sentinel 2^c - 1 for
+    digit 0 (bucket array size 2^c: 2^c - 1 real buckets + sentinel).
+
+    Unsigned (no wNAF recentering): signed digits halve the bucket count,
+    but the extra carry window they create is nearly empty, and its giant
+    equal-digit runs drag the vmapped segmented scan to ~log(n) rounds for
+    EVERY window.  With the work-efficient bucket reduction, doubling the
+    bucket count costs far less than those extra scan rounds.
     """
-    n = scalars.shape[0]
-    half = 1 << (c - 1)
-    radix = 1 << c
-    mask = radix - 1
-
+    mask = (1 << c) - 1
     raw = []
     for w in range(num_windows):
         off = w * c
         k, sh = off // 16, off % 16
-        lo = scalars[:, k] >> sh
+        lo = scalars[:, k].astype(jnp.int32) >> sh
         if k + 1 < W and sh > 0:
-            lo = lo | (scalars[:, k + 1] << (16 - sh))
+            lo = lo | (scalars[:, k + 1].astype(jnp.int32) << (16 - sh))
         raw.append(lo & mask)
-
-    digits = []
-    carry = jnp.zeros((n,), dtype=jnp.int32)
-    for w in range(num_windows):
-        coef = carry + raw[w].astype(jnp.int32)
-        carry = (coef + half) >> c
-        digits.append(coef - (carry << c))
-    # final carry folds into the last digit (as in ark's make_digits)
-    digits[-1] = digits[-1] + (carry << c)
-
-    digits = jnp.stack(digits)  # [k, n] int32, |digit| <= 2^(c-1)
-    is_neg = digits < 0
-    absd = jnp.abs(digits)
-    bucket_ids = jnp.where(absd == 0, half, absd - 1)  # sentinel = half
-    return bucket_ids.astype(jnp.int32), is_neg
+    digits = jnp.stack(raw)  # [k, n] in [0, 2^c)
+    bucket_ids = jnp.where(digits == 0, mask, digits - 1)
+    return bucket_ids.astype(jnp.int32)
 
 
 def _segmented_sum_sorted(points, ids, num_buckets: int):
@@ -119,11 +126,12 @@ def _segmented_sum_sorted(points, ids, num_buckets: int):
 
 
 def _bucket_weighted_sum(buckets):
-    """sum_b (b+1) * buckets[b] via suffix scan + tree sum (buckets [B,4,W]).
+    """sum_b (b+1) * buckets[b] via suffix scan + tree sum ([4, W, B]).
 
-    Both the Hillis-Steele suffix scan and the final tree reduction run as
-    fori_loops with fixed-shape bodies so the curve-add subgraph compiles
-    once, not once per round.
+    Hillis-Steele in fixed-shape fori_loops: compile-once.  B*log(B) curve
+    adds, but B << n under the fat-window plan so this is a minor cost; a
+    work-efficient pair recursion was tried and its ~140 unrolled
+    static-shape curve-add subgraphs blew up XLA compile time.
     """
     b = buckets.shape[-1]
     if b == 1:
@@ -147,20 +155,23 @@ def _msm_kernel(points, scalars, c: int, num_windows: int):
     """points [4,W,n] (extended, Montgomery limbs); scalars [n,W] canonical
     integer limbs. Returns [4,W,1] point."""
     n = points.shape[-1]
-    half = 1 << (c - 1)
+    num_buckets = (1 << c) - 1
 
-    bucket_ids, is_neg = _extract_digits(scalars, c, num_windows)  # [k, n]
-    signed_pts = jnp.where(is_neg[:, None, None, :], pneg(points)[None],
-                           points[None])  # [k, 4, W, n]
+    bucket_ids = _extract_digits(scalars, c, num_windows)  # [k, n]
 
     order = jnp.argsort(bucket_ids, axis=1)  # [k, n]
     sorted_ids = jnp.take_along_axis(bucket_ids, order, axis=1)
-    sorted_pts = jnp.take_along_axis(
-        signed_pts, order[:, None, None, :], axis=-1)
+    # gather in point-major layout ([n, 64] rows are contiguous 256B reads;
+    # a gather along the last axis of [4, W, n] would be stride-n columns)
+    pts_pm = points.reshape(4 * W, n).T  # [n, 64]
+    sorted_pm = jnp.take(pts_pm, order.reshape(-1), axis=0)  # [k*n, 64]
+    sorted_pts = jnp.transpose(
+        sorted_pm.reshape(num_windows, n, 4 * W), (0, 2, 1)
+    ).reshape(num_windows, 4, W, n)
 
     window_sums = jax.vmap(
         lambda p, i: _bucket_weighted_sum(
-            _segmented_sum_sorted(p, i, half)[..., :half]
+            _segmented_sum_sorted(p, i, num_buckets)[..., :num_buckets]
         )
     )(sorted_pts, sorted_ids)  # [k, 4, W, 1]
 
@@ -217,10 +228,7 @@ def msm_device(points, scalars_mont, modulus_bits: int = 253):
     max_bits = max_scalar_bits(scalars_int)
     if max_bits > 60:
         max_bits = modulus_bits
-    c = window_size(n)
-    # +1 bit so the top signed digit (<= 2^(c-1) after the final carry fold)
-    # always fits the half-size bucket array
-    num_windows = (max_bits + c) // c
+    c, num_windows = window_plan(n, max_bits)
     return _msm_kernel(points, scalars_int, c=c, num_windows=num_windows)
 
 
@@ -258,8 +266,7 @@ def msm_batch_device(points, scalars_mont_rows, modulus_bits: int = 253,
     if max_bits > 60:
         max_bits = modulus_bits
     scalars_int = scalars_int.reshape(rows, n, W)
-    c = window_size(n)
-    num_windows = (max_bits + c) // c
+    c, num_windows = window_plan(n, max_bits)
 
     outs = []
     for start in range(0, rows, row_chunk):

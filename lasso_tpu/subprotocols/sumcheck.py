@@ -22,9 +22,10 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lasso_tpu.field.host import Fr
-from lasso_tpu.field.jfield import JFr
+from lasso_tpu.field.jfield import JFr, W
 from lasso_tpu.poly.unipoly import CompressedUniPoly, UniPoly
 from lasso_tpu.utils.errors import LassoError
 from lasso_tpu.utils.tracing import instrument
@@ -194,6 +195,136 @@ class ZKSumcheckInstanceProof:
         return self.comm_evals[-1], r
 
 
+# ---------------------------------------------------------------------------
+# On-device sumcheck: transcript + rounds in one jitted fori_loop.
+#
+# Each round's STROBE byte sequence is identical and every round ends in a
+# PRF that deterministically resets the sponge position, so rounds >= 1
+# share one loop body: the whole sumcheck costs ONE device dispatch + ONE
+# transfer instead of two tunnel round trips per round.  Round 0 runs on
+# host to bring the transcript to the canonical post-PRF position.
+# ---------------------------------------------------------------------------
+
+_VINV_CACHE: dict[int, np.ndarray] = {}
+
+
+def _vandermonde_inv_mont(degree: int) -> np.ndarray:
+    """[d+1, d+1, W] Montgomery limbs of the inverse Vandermonde over
+    evaluation points 0..degree (coeffs = VINV @ evals)."""
+    got = _VINV_CACHE.get(degree)
+    if got is None:
+        from lasso_tpu.field.jfield import pack_int
+
+        d = degree + 1
+        p = Fr.p
+        # invert V[i][j] = i^j mod p by Gaussian elimination (augmented)
+        v = []
+        for i in range(d):
+            row = [pow(i, j, p) for j in range(d)]
+            row += [1 if k == i else 0 for k in range(d)]
+            v.append(row)
+        for col in range(d):
+            piv = next(r for r in range(col, d) if v[r][col] % p != 0)
+            v[col], v[piv] = v[piv], v[col]
+            inv = pow(v[col][col], p - 2, p)
+            v[col] = [x * inv % p for x in v[col]]
+            for r in range(d):
+                if r != col and v[r][col]:
+                    f = v[r][col]
+                    v[r] = [(x - f * y) % p for x, y in zip(v[r], v[col])]
+        vinv = [[v[i][d + j] for j in range(d)] for i in range(d)]
+        # coeffs[j] = sum_k VINV[j][k] * evals[k]
+        arr = np.zeros((d, d, 16), dtype=np.uint32)
+        for j in range(d):
+            for k in range(d):
+                arr[j, k] = pack_int(Fr.to_mont(vinv[j][k]))
+        got = arr
+        _VINV_CACHE[degree] = got
+    return got
+
+
+def _interp_coeffs_device(evals, degree: int):
+    """evals [d+1, W] Montgomery -> coefficients [d+1, W] Montgomery."""
+    vinv = jnp.asarray(_vandermonde_inv_mont(degree))  # [d+1, d+1, W]
+    prods = JFr.mul(vinv, evals[None, :, :])  # [d+1, d+1, W]
+    return JFr.finish_sum(_sum_cols_axis1(prods))
+
+
+def _sum_cols_axis1(x):
+    """Lazy column sums over axis 1 of [a, k, W] (k small)."""
+    from lasso_tpu.field.jfield import _split_shift_renorm
+
+    return _split_shift_renorm(x.sum(axis=1, dtype=jnp.uint32))
+
+
+def _append_round_poly_device(dt, coeffs, degree: int) -> None:
+    dt.append_message_static(b"poly", b"UniPoly_begin")
+    for j in range(degree + 1):
+        dt.append_scalar(b"coeff", coeffs[j])
+    dt.append_message_static(b"poly", b"UniPoly_end")
+
+
+def _device_sumcheck_supported(transcript) -> bool:
+    import os
+
+    from lasso_tpu.transcript.proof_transcript import (ProofTranscript,
+                                                       TestTranscript)
+
+    if os.environ.get("LASSO_TPU_DEVICE_TRANSCRIPT", "1") in ("0", "off"):
+        return False
+    if not isinstance(transcript, ProofTranscript) or \
+            isinstance(transcript, TestTranscript):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+MAX_DEVICE_ROUNDS = 32
+
+
+@functools.partial(jax.jit, static_argnames=("comb", "degree", "strobe_meta"))
+def _device_rounds_arbitrary(state0, zs0, m0, comb, degree: int,
+                             num_rounds, strobe_meta):
+    """Masked sumcheck rounds with the transcript on device.
+
+    state0: [200] strobe bytes; zs0: [alpha, FIX, W]; m0: active length;
+    num_rounds: TRACED trip count (accumulators are fixed MAX_DEVICE_ROUNDS
+    so one executable serves every layer/proof size).
+    strobe_meta: (pos, pos_begin, cur_flags) at entry (static, and by
+    periodicity also at exit of every round).
+    Returns (state, zs, coeffs_acc [MAX, degree+1, W], r_acc [MAX, W]).
+    """
+    from lasso_tpu.transcript.device_strobe import DeviceStrobe, DeviceTranscript
+
+    pos, pos_begin, cur_flags = strobe_meta
+    coeffs_acc0 = jnp.zeros((MAX_DEVICE_ROUNDS, degree + 1, W), jnp.uint32)
+    r_acc0 = jnp.zeros((MAX_DEVICE_ROUNDS, W), jnp.uint32)
+
+    def body(i, carry):
+        state, zs, m, coeffs_acc, r_acc = carry
+        evals = _round_evals_masked(zs, m, comb, degree)
+        coeffs = _interp_coeffs_device(evals, degree)
+
+        dt = DeviceTranscript(DeviceStrobe(state, pos, pos_begin, cur_flags))
+        _append_round_poly_device(dt, coeffs, degree)
+        r = dt.challenge_scalar(b"challenge_nextround")
+        # trajectory periodicity: static bookkeeping must return to entry
+        assert (dt.s.pos, dt.s.pos_begin, dt.s.cur_flags) == strobe_meta, \
+            "strobe trajectory not periodic; device loop invalid"
+
+        zs = _bind_top_masked(zs, m, r)
+        coeffs_acc = jax.lax.dynamic_update_slice(
+            coeffs_acc, coeffs[None], (i, 0, 0))
+        r_acc = jax.lax.dynamic_update_slice(r_acc, r[None], (i, 0))
+        return dt.state_tuple(), zs, m // 2, coeffs_acc, r_acc
+
+    state, zs, _, coeffs_acc, r_acc = jax.lax.fori_loop(
+        0, num_rounds, body, (state0, zs0, m0, coeffs_acc0, r_acc0))
+    return state, zs, coeffs_acc, r_acc
+
+
 @instrument("Sumcheck.prove")
 def prove_arbitrary(polys_stack, comb, degree: int, num_rounds: int, transcript):
     """Arbitrary-degree sumcheck prover over stacked tables [alpha, n, W].
@@ -209,7 +340,38 @@ def prove_arbitrary(polys_stack, comb, degree: int, num_rounds: int, transcript)
     if masked:
         zs = _pad_to_fix(zs, SUMCHECK_FIX)
         m = jnp.int32(n)
-    for _ in range(num_rounds):
+    use_device = _device_sumcheck_supported(transcript)
+
+    round_idx = 0
+    while round_idx < num_rounds:
+        # device fast path: after at least one host round (which parks the
+        # strobe at the canonical post-PRF position), all remaining masked
+        # rounds run in one jitted fori_loop with the transcript on device
+        if use_device and masked and round_idx >= 1:
+            remaining = num_rounds - round_idx
+            from lasso_tpu.transcript.device_strobe import (DeviceStrobe,
+                                                            DeviceTranscript)
+
+            dt = DeviceTranscript.from_host(transcript)
+            meta = (dt.s.pos, dt.s.pos_begin, dt.s.cur_flags)
+            state, zs, coeffs_acc, r_acc = _device_rounds_arbitrary(
+                dt.s.state, zs, m, comb, degree, jnp.int32(remaining), meta)
+            flat = JFr.decode(jnp.concatenate(
+                [coeffs_acc[:remaining].reshape(-1, W), r_acc[:remaining]],
+                axis=0))
+            d1 = degree + 1
+            coeffs_host = flat[: remaining * d1]
+            r_host = flat[remaining * d1:]
+            out = DeviceTranscript(DeviceStrobe(None, *meta))
+            out.restore_to_host(transcript, np.asarray(state))
+            for k in range(remaining):
+                poly = UniPoly(coeffs_host[k * d1: (k + 1) * d1])
+                compressed.append(poly.compress())
+            r_out.extend(r_host)
+            n >>= remaining
+            round_idx = num_rounds
+            break
+
         if masked:
             eval_limbs = _round_evals_masked(zs, m, comb, degree)
         else:
@@ -232,9 +394,10 @@ def prove_arbitrary(polys_stack, comb, degree: int, num_rounds: int, transcript)
                 zs = _pad_to_fix(zs, SUMCHECK_FIX)
                 m = jnp.int32(n)
         compressed.append(round_poly.compress())
+        round_idx += 1
 
     final_evals = JFr.decode(zs[:, 0])
-    return SumcheckInstanceProof(compressed), r_out, final_evals, zs[:, :n]
+    return SumcheckInstanceProof(compressed), r_out, final_evals, zs[:, :max(n, 1)]
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -314,6 +477,58 @@ def _bind_top_single_masked(z, m, r):
     return jnp.concatenate([bound, pad], axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=("strobe_meta",))
+def _device_rounds_cubic(state0, a0, b0, c0, m0, e0, rlc, num_rounds,
+                         strobe_meta):
+    """Masked cubic-batched rounds with the transcript on device.
+
+    a0, b0: [I, FIX, W]; c0: [FIX, W]; e0: [W] running claim (Montgomery);
+    rlc: [I, W] Montgomery RLC coefficients; num_rounds TRACED.
+    Returns (state, a, b, c, coeffs_acc [MAX, 4, W], r_acc [MAX, W]).
+    """
+    from lasso_tpu.transcript.device_strobe import DeviceStrobe, DeviceTranscript
+
+    pos, pos_begin, cur_flags = strobe_meta
+    coeffs_acc0 = jnp.zeros((MAX_DEVICE_ROUNDS, 4, W), jnp.uint32)
+    r_acc0 = jnp.zeros((MAX_DEVICE_ROUNDS, W), jnp.uint32)
+
+    def rlc_combine(ev_t):  # [I, W] -> [W]
+        return JFr.finish_sum(JFr.sum_columns(JFr.mul(ev_t, rlc)))
+
+    def body(i, carry):
+        state, a, b, c, m, e, coeffs_acc, r_acc = carry
+        ev = _cubic_round_evals_masked(a, b, c, m)  # [3, I, W]
+        comb0 = rlc_combine(ev[0])
+        comb2 = rlc_combine(ev[1])
+        comb3 = rlc_combine(ev[2])
+        eval1 = JFr.sub(e, comb0)
+        evals4 = jnp.stack([comb0, eval1, comb2, comb3])
+        coeffs = _interp_coeffs_device(evals4, 3)
+
+        dt = DeviceTranscript(DeviceStrobe(state, pos, pos_begin, cur_flags))
+        _append_round_poly_device(dt, coeffs, 3)
+        r = dt.challenge_scalar(b"challenge_nextround")
+        assert (dt.s.pos, dt.s.pos_begin, dt.s.cur_flags) == strobe_meta, \
+            "strobe trajectory not periodic; device loop invalid"
+
+        a = _bind_top_masked(a, m, r)
+        b = _bind_top_masked(b, m, r)
+        c = _bind_top_single_masked(c, m, r)
+        # e = poly(r) via Horner on Montgomery coefficients
+        e_new = coeffs[3]
+        for j in (2, 1, 0):
+            e_new = JFr.add(JFr.mul(e_new[None], r[None])[0], coeffs[j])
+        coeffs_acc = jax.lax.dynamic_update_slice(
+            coeffs_acc, coeffs[None], (i, 0, 0))
+        r_acc = jax.lax.dynamic_update_slice(r_acc, r[None], (i, 0))
+        return (dt.state_tuple(), a, b, c, m // 2, e_new, coeffs_acc, r_acc)
+
+    state, a, b, c, _, _, coeffs_acc, r_acc = jax.lax.fori_loop(
+        0, num_rounds, body,
+        (state0, a0, b0, c0, m0, e0, coeffs_acc0, r_acc0))
+    return state, a, b, c, coeffs_acc, r_acc
+
+
 @instrument("Sumcheck.prove_batched")
 def prove_cubic_batched(claim: int, num_rounds: int, a_stack, b_stack, c_poly,
                         coeffs: list[int], transcript):
@@ -337,8 +552,35 @@ def prove_cubic_batched(claim: int, num_rounds: int, a_stack, b_stack, c_poly,
         b = _pad_to_fix(b, SUMCHECK_FIX)
         c = _pad_to_fix(c[None], SUMCHECK_FIX)[0]
         m = jnp.int32(n)
+    use_device = _device_sumcheck_supported(transcript)
 
-    for _ in range(num_rounds):
+    round_idx = 0
+    while round_idx < num_rounds:
+        if use_device and masked and round_idx >= 1:
+            remaining = num_rounds - round_idx
+            from lasso_tpu.transcript.device_strobe import (DeviceStrobe,
+                                                            DeviceTranscript)
+
+            dt = DeviceTranscript.from_host(transcript)
+            meta = (dt.s.pos, dt.s.pos_begin, dt.s.cur_flags)
+            rlc = JFr.encode_ints(coeffs)
+            state, a, b, c, coeffs_acc, r_acc = _device_rounds_cubic(
+                dt.s.state, a, b, c, m, JFr.encode_scalar(e), rlc,
+                jnp.int32(remaining), meta)
+            flat = JFr.decode(jnp.concatenate(
+                [coeffs_acc[:remaining].reshape(-1, W), r_acc[:remaining]],
+                axis=0))
+            coeffs_host = flat[: remaining * 4]
+            r_host = flat[remaining * 4:]
+            out = DeviceTranscript(DeviceStrobe(None, *meta))
+            out.restore_to_host(transcript, np.asarray(state))
+            for k in range(remaining):
+                poly = UniPoly(coeffs_host[k * 4: (k + 1) * 4])
+                compressed.append(poly.compress())
+            r_out.extend(r_host)
+            round_idx = num_rounds
+            break
+
         if masked:
             evals_limbs = _cubic_round_evals_masked(a, b, c, m)
         else:
@@ -377,6 +619,7 @@ def prove_cubic_batched(claim: int, num_rounds: int, a_stack, b_stack, c_poly,
                 m = jnp.int32(n)
         e = round_poly.evaluate(r_j)
         compressed.append(round_poly.compress())
+        round_idx += 1
 
     claims_a = JFr.decode(a[:, 0])
     claims_b = JFr.decode(b[:, 0])
