@@ -59,8 +59,51 @@ def _coords(p):
             p[..., 2, :, :], p[..., 3, :, :])
 
 
+_A_TUPLE = tuple(int(x) for x in _A_M[:, 0])
+_D_TUPLE = tuple(int(x) for x in _D_M[:, 0])
+
+_FUSED_PADD: bool | None = None
+
+
+def _use_fused_padd() -> bool:
+    """One fused Pallas kernel per curve add on TPU (ops/field_pallas.py);
+    the stacked-mul XLA path otherwise.  LASSO_TPU_PALLAS_PADD=0 disables."""
+    global _FUSED_PADD
+    if _FUSED_PADD is None:
+        import os
+
+        env = os.environ.get("LASSO_TPU_PALLAS_PADD", "auto")
+        if env in ("0", "off"):
+            _FUSED_PADD = False
+        elif env in ("1", "on"):
+            _FUSED_PADD = True
+        else:
+            try:
+                _FUSED_PADD = jax.default_backend() == "tpu"
+            except Exception:
+                _FUSED_PADD = False
+    return _FUSED_PADD
+
+
 def padd(p, q):
     """Unified extended twisted Edwards addition (add-2008-hwcd), complete."""
+    if _use_fused_padd():
+        from lasso_tpu.ops.field_pallas import padd_pallas
+
+        def _fused(a, b):
+            return padd_pallas(a, b, JFp.p_limbs, JFp.n0inv,
+                               _A_TUPLE, _D_TUPLE)
+
+        try:
+            return jax.lax.platform_dependent(p, q, tpu=_fused,
+                                              default=_padd_xla)
+        except Exception:
+            return _padd_xla(p, q)
+    return _padd_xla(p, q)
+
+
+def _padd_xla(p, q):
+    """Stacked-mul XLA fallback for non-TPU platforms."""
     shape = jnp.broadcast_shapes(p.shape, q.shape)
     p = jnp.broadcast_to(p, shape)
     q = jnp.broadcast_to(q, shape)
@@ -90,7 +133,14 @@ def padd(p, q):
 
 
 def pdbl(p):
-    """Dedicated doubling (dbl-2008-hwcd)."""
+    """Doubling: routed through the complete unified addition (P+P) when the
+    fused kernel is active, dedicated dbl-2008-hwcd formulas otherwise."""
+    if _use_fused_padd():
+        return padd(p, p)
+    return _pdbl_xla(p)
+
+
+def _pdbl_xla(p):
     x1, y1, z1, _ = _coords(p)
     s1 = _fadd(x1, y1)
     u = _fmul(jnp.stack([x1, y1, z1, s1]), jnp.stack([x1, y1, z1, s1]))

@@ -158,6 +158,125 @@ def mont_mul_lm(a, b, p_limbs, n0inv, interpret=False):
     return out.reshape(shape)
 
 
+# ---------------------------------------------------------------------------
+# fused curve kernels: one Pallas launch per twisted Edwards group op
+# ---------------------------------------------------------------------------
+
+def _add_t(a, b, p_limbs):
+    """Canonical limb add on [W, ...] tiles (carry ripple + cond-subtract)."""
+    s = a + b
+    outs = []
+    c = jnp.zeros_like(s[0])
+    for j in range(W):
+        v = s[j] + c
+        outs.append(v & MASK)
+        c = v >> B
+    return _cond_sub_t(outs, p_limbs)
+
+
+def _sub_t(a, b, p_limbs):
+    """Canonical limb subtract: a - b + p, ripple, cond-subtract."""
+    outs = []
+    c = jnp.zeros_like(a[0], ).astype(jnp.int32)
+    for j in range(W):
+        v = a[j].astype(jnp.int32) - b[j].astype(jnp.int32) \
+            + np.int32(p_limbs[j]) + c
+        outs.append((v & jnp.int32(MASK)).astype(jnp.uint32))
+        c = v >> B
+    return _cond_sub_t(outs, p_limbs)
+
+
+def _cond_sub_t(limbs, p_limbs):
+    borrow = jnp.zeros_like(limbs[0]).astype(jnp.int32)
+    diffs = []
+    for j in range(W):
+        v = limbs[j].astype(jnp.int32) - np.int32(p_limbs[j]) - borrow
+        diffs.append(v & jnp.int32(MASK))
+        borrow = (v >> 31) & 1
+    take = borrow == 0
+    return jnp.stack([jnp.where(take, d.astype(jnp.uint32), r)
+                      for d, r in zip(diffs, limbs)], axis=0)
+
+
+def _rows(x):
+    return [x[j] for j in range(W)]
+
+
+def _padd_body(p, q, p_limbs, n0inv, a_mont, d_mont):
+    """Unified hwcd addition on [4, W, 8, 128] tiles, fully in VMEM."""
+
+    def mul(x, y):
+        return _mont_mul_body(x, y, p_limbs, n0inv)
+
+    def mulc(x, const_limbs):
+        return _mont_mul_body(
+            x, jnp.broadcast_to(
+                jnp.asarray(const_limbs, jnp.uint32)[:, None, None], x.shape),
+            p_limbs, n0inv)
+
+    x1, y1, z1, t1 = p[0], p[1], p[2], p[3]
+    x2, y2, z2, t2 = q[0], q[1], q[2], q[3]
+    a_ = mul(x1, x2)
+    b_ = mul(y1, y2)
+    c_ = mulc(mul(t1, t2), d_mont)
+    d_ = mul(z1, z2)
+    s1 = _add_t(x1, y1, p_limbs)
+    s2 = _add_t(x2, y2, p_limbs)
+    e = _sub_t(_sub_t(mul(s1, s2), a_, p_limbs), b_, p_limbs)
+    f = _sub_t(d_, c_, p_limbs)
+    g = _add_t(d_, c_, p_limbs)
+    h = _sub_t(b_, mulc(a_, a_mont), p_limbs)
+    return jnp.stack([mul(e, f), mul(g, h), mul(f, g), mul(e, h)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("p_limbs", "n0inv", "a_mont",
+                                             "d_mont", "interpret"))
+def _padd_lm_batched(p, q, p_limbs, n0inv, a_mont, d_mont, interpret=False):
+    """p, q: [K, 4, W, R, 128] extended points; returns their sums."""
+    k, _, _, rows, _ = p.shape
+    grid = (k, rows // 8)
+    spec = pl.BlockSpec((1, 4, W, 8, 128), lambda i, j: (i, 0, 0, j, 0),
+                        memory_space=pltpu.VMEM)
+
+    def kernel(p_ref, q_ref, o_ref):
+        o_ref[0] = _padd_body(p_ref[0], q_ref[0], p_limbs, n0inv,
+                              a_mont, d_mont)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(p.shape, jnp.uint32),
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(p, q)
+
+
+def padd_pallas(p, q, p_limbs, n0inv, a_mont, d_mont, interpret=False):
+    """Fused curve addition on [..., 4, W, n] limb-major points."""
+    shape = jnp.broadcast_shapes(p.shape, q.shape)
+    p = jnp.broadcast_to(p, shape)
+    q = jnp.broadcast_to(q, shape)
+    lead = shape[:-3]
+    n = shape[-1]
+    k = int(np.prod(lead)) if lead else 1
+    pad = (-n) % TILE
+    p2 = p.reshape(k, 4, W, n)
+    q2 = q.reshape(k, 4, W, n)
+    if pad:
+        zz = jnp.zeros((k, 4, W, pad), jnp.uint32)
+        p2 = jnp.concatenate([p2, zz], axis=-1)
+        q2 = jnp.concatenate([q2, zz], axis=-1)
+    m = p2.shape[-1]
+    out = _padd_lm_batched(
+        p2.reshape(k, 4, W, m // 128, 128), q2.reshape(k, 4, W, m // 128, 128),
+        p_limbs, n0inv, a_mont, d_mont, interpret)
+    out = out.reshape(k, 4, W, m)
+    if pad:
+        out = out[..., :n]
+    return out.reshape(shape)
+
+
 def mont_mul_pallas(a, b, p_limbs, n0inv, interpret=False):
     """Drop-in for jfield._mont_mul on [..., W] tensors (any batch shape)."""
     shape = jnp.broadcast_shapes(a.shape, b.shape)
