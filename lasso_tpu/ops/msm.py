@@ -232,9 +232,29 @@ def msm_device(points, scalars_mont, modulus_bits: int = 253):
     return _msm_kernel(points, scalars_int, c=c, num_windows=num_windows)
 
 
+MSM_CHUNK = 1 << 20
+
+
+def msm_chunks_device(points, scalars_mont, modulus_bits: int = 253):
+    """Streaming MSM for huge inputs (reference: msm_chunks,
+    src/msm/mod.rs:56-87): process 2^20-point chunks through the kernel and
+    tree-combine the partial results, bounding the working set."""
+    n = points.shape[-1]
+    if n <= MSM_CHUNK:
+        return msm_device(points, scalars_mont, modulus_bits)
+    partials = []
+    for start in range(0, n, MSM_CHUNK):
+        stop = min(start + MSM_CHUNK, n)
+        partials.append(msm_device(
+            points[..., start:stop], scalars_mont[start:stop], modulus_bits))
+    from lasso_tpu.curve.jcurve import tree_sum
+
+    return tree_sum(jnp.concatenate(partials, axis=-1))
+
+
 def msm(points, scalars_mont) -> hostcurve.Point:
     """Device MSM returning a host Point."""
-    return to_host_point(msm_device(points, scalars_mont))
+    return to_host_point(msm_chunks_device(points, scalars_mont))
 
 
 _msm_kernel_rows = jax.jit(

@@ -57,6 +57,30 @@ class BatchedGrandProductCircuit:
         return JFr.decode(root)
 
 
+class GrandProductCircuit:
+    """Single product-tree circuit (reference: grand_product.rs:13-65).
+
+    Thin wrapper over the batched tensor circuit with one instance; the
+    prover always uses the batched form (one tensor per layer)."""
+
+    def __init__(self, poly):
+        z = poly.z if hasattr(poly, "z") else poly
+        self._batched = BatchedGrandProductCircuit(z[None])
+
+    @property
+    def num_layers(self) -> int:
+        return self._batched.num_layers
+
+    def left_vec(self, layer: int):
+        return self._batched.left_layers[layer][0]
+
+    def right_vec(self, layer: int):
+        return self._batched.right_layers[layer][0]
+
+    def evaluate(self) -> int:
+        return self._batched.evaluate()[0]
+
+
 @dataclass
 class LayerProofBatched:
     proof: SumcheckInstanceProof
