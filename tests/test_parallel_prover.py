@@ -1,0 +1,54 @@
+"""Distributed sumcheck prover vs single-chip: proof bytes must be
+bit-identical (parallel/prover.py docstring)."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lasso_tpu.field.host import Fr
+from lasso_tpu.field.jfield import JFr
+from lasso_tpu.parallel import ops as pops
+from lasso_tpu.parallel.mesh import make_mesh
+from lasso_tpu.parallel.prover import prove_arbitrary_sharded
+from lasso_tpu.subprotocols.sumcheck import prove_arbitrary
+from lasso_tpu.transcript.proof_transcript import ProofTranscript
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices("cpu")) < 8:
+        pytest.skip("needs 8 virtual CPU devices (see conftest)")
+    return make_mesh(8, platform="cpu")
+
+
+def test_sharded_sumcheck_proof_identical(mesh):
+    rng = random.Random(7)
+    n, alpha = 64, 3
+    rows = [[rng.randrange(Fr.p) for _ in range(n)] for _ in range(alpha)]
+    zs = jnp.stack([JFr.encode_ints(r) for r in rows])
+
+    def comb(z):
+        return JFr.mul(JFr.mul(z[0], z[1]), z[2])
+
+    num_rounds = 6
+    proof_ref, r_ref, evals_ref, _ = prove_arbitrary(
+        zs, comb, 3, num_rounds, ProofTranscript(b"dist"))
+
+    zs_cyc = jnp.stack([pops.cyclic_permute(zs[i], 8) for i in range(alpha)])
+    proof_sh, r_sh, evals_sh = prove_arbitrary_sharded(
+        mesh, zs_cyc, comb, 3, num_rounds, ProofTranscript(b"dist"))
+
+    assert r_sh == r_ref
+    assert evals_sh == evals_ref
+    for a, b in zip(proof_sh.compressed_polys, proof_ref.compressed_polys):
+        assert a.coeffs_except_linear_term == b.coeffs_except_linear_term
+
+    # and the standard verifier accepts it
+    claim = 0
+    for k in range(n):
+        claim += rows[0][k] * rows[1][k] * rows[2][k]
+    claim %= Fr.p
+    e, r_v = proof_sh.verify(claim, num_rounds, 3, ProofTranscript(b"dist"))
+    assert r_v == r_ref
