@@ -14,7 +14,12 @@ _cache_dir = os.environ.get(
     "LASSO_TPU_XLA_CACHE", os.path.expanduser("~/.cache/lasso_tpu_xla"))
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Cache EVERYTHING, including sub-second compiles: under the tunneled
+    # backend every compile -- even a trivial reshape/broadcast dispatch op --
+    # costs a ~0.4s remote-compile round trip, and a prove pass dispatches
+    # hundreds of such ops.  With the 1s threshold they were recompiled every
+    # process (~150-250s of pure compile overhead per CLI run).
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 except Exception:  # pragma: no cover - older jax without these flags
     pass

@@ -14,8 +14,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax.numpy as jnp
+
 from lasso_tpu.curve import host as hostcurve
-from lasso_tpu.curve.jcurve import to_host_point
+from lasso_tpu.curve.jcurve import to_host_point, to_host_points
 from lasso_tpu.field.host import Fr
 from lasso_tpu.field.jfield import JFr
 from lasso_tpu.ops.msm import msm_batch_device, msm_device
@@ -66,7 +68,9 @@ def commit_poly(poly: DensePolynomial, gens: PolyCommitmentGens,
     bases = _gens_device(gens_n)[..., :r_size]
     rows = poly.z.reshape(l_size, r_size, -1)
     row_pts = msm_batch_device(bases, rows)  # [l_size, 4, W]
-    points = [to_host_point(row_pts[i]) for i in range(l_size)]
+    # ONE host transfer for all rows (a per-row to_host_point loop costs one
+    # tunnel round trip per row -- ~30ms x 256 rows dominated commit time)
+    points = to_host_points(jnp.moveaxis(row_pts, 0, -1))
     if any(b != 0 for b in blinds):
         points = [p.add(gens_n.h.mul(b)) for p, b in zip(points, blinds)]
     return PolyCommitment(points), blinds
