@@ -11,14 +11,25 @@ multi-host runs combine shard-local subtrees with a log(#shards) top tree
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lasso_tpu.field.host import Fr
-from lasso_tpu.field.jfield import JFr
+from lasso_tpu.field.jfield import JFr, W
 from lasso_tpu.poly.dense import eq_evals_device, eq_evaluate_host
-from lasso_tpu.subprotocols.sumcheck import (SumcheckInstanceProof,
+from lasso_tpu.poly.unipoly import UniPoly
+from lasso_tpu.subprotocols.sumcheck import (SUMCHECK_FIX,
+                                             SumcheckInstanceProof,
+                                             _append_round_poly_device,
+                                             _bind_top_masked,
+                                             _bind_top_single_masked,
+                                             _cubic_round_evals_masked,
+                                             _device_sumcheck_supported,
+                                             _interp_coeffs_device,
                                              prove_cubic_batched)
 from lasso_tpu.utils.errors import LassoError
 from lasso_tpu.utils.tracing import instrument
@@ -88,6 +99,166 @@ class LayerProofBatched:
     claims_prod_right: list[int]
 
 
+# ---------------------------------------------------------------------------
+# Fully-fused device argument (prefix of layers whose length fits the masked
+# sumcheck buffers).  The ENTIRE per-layer pipeline -- RLC coefficient draws,
+# claim combination, eq-table build, all cubic sumcheck rounds, left/right
+# claim appends and the r_layer challenge -- runs inside ONE jitted program
+# with the Fiat-Shamir transcript on device (transcript/device_strobe.py).
+# The host sees exactly TWO transfers per argument: the decoded round-poly
+# coefficients/claims, and the final strobe state.  The per-layer host loop
+# it replaces cost ~4 tunnel round trips + an eq rebuild per layer.
+# ---------------------------------------------------------------------------
+
+# Prefix layer t has length 2^t; the masked buffer (and therefore the number
+# of fused layers) is sized to the LARGEST layer, capped by GP_FIX_CAP and a
+# total-buffer budget so high-instance-count workloads don't blow HBM.  With
+# M=2^16 tables the whole argument fuses into one device call.
+GP_FIX_CAP = 32768
+GP_BUDGET_ELEMS = 1 << 24  # layers * instances * fix field elements per side
+
+# Strobe bookkeeping after ANY challenge_scalar: the C-flagged PRF begin-op
+# always runs the permutation (resetting pos/pos_begin to 0) and then
+# squeezes 64 bytes -- independent of what preceded it.  Every layer both
+# starts and ends at this position, which is what makes the per-layer loop
+# body trace-periodic.
+def _post_challenge_meta():
+    from lasso_tpu.transcript.strobe import FLAG_A, FLAG_C, FLAG_I
+
+    return (64, 0, FLAG_I | FLAG_A | FLAG_C)
+
+
+def _gp_eq_step(eb, r_i):
+    """One doubling step of the eq-table build on a fixed [FIX, W] buffer.
+
+    Matches poly/dense.eq_evals_device ordering (index MSB <-> first r):
+    active lanes double from the front; garbage lanes are masked downstream.
+    """
+    fix = eb.shape[0]
+    t = JFr.mul(eb, r_i[None])
+    half = fix // 2
+    lo = JFr.sub(eb[:half], t[:half])
+    return jnp.stack([lo, t[:half]], axis=1).reshape(fix, W)
+
+
+@functools.partial(jax.jit, static_argnames=("num_instances", "entry_meta"))
+def _device_gp_prefix(state0, leaves_l, leaves_r, claims0, num_layers,
+                      num_instances: int, entry_meta):
+    """Run prefix layers 0..num_layers-1 of the batched argument on device.
+
+    state0: [200] strobe bytes at argument entry (static meta `entry_meta`);
+    leaves_l/r: [L, I, FIX, W] per-layer left/right inputs (layer t active
+    length 2^t, zero-padded); claims0: [I, W] root claims (Montgomery);
+    num_layers: TRACED prefix layer count (>= 1, <= L).
+
+    Returns (state, coeffs_acc [L, L-1, 4, W], claims_l [L, I, W],
+    claims_r [L, I, W], claims_out [I, W], rand_out [L, W]).
+    """
+    from lasso_tpu.transcript.device_strobe import DeviceStrobe, DeviceTranscript
+
+    l_max = leaves_l.shape[0]
+    r_max = max(l_max - 1, 1)
+    fix = leaves_l.shape[2]
+    i_cnt = num_instances
+
+    coeffs_acc0 = jnp.zeros((l_max, r_max, 4, W), jnp.uint32)
+    cl_acc0 = jnp.zeros((l_max, i_cnt, W), jnp.uint32)
+    cr_acc0 = jnp.zeros((l_max, i_cnt, W), jnp.uint32)
+    rand0 = jnp.zeros((l_max, W), jnp.uint32)
+
+    def layer(state, meta, rand_acc, claims, t, accs):
+        """One layer: coeffs -> rounds -> claim appends -> r_layer.
+
+        t is traced; meta (static strobe bookkeeping) must be identical at
+        entry and exit for loop periodicity."""
+        coeffs_acc, cl_acc, cr_acc = accs
+        dt = DeviceTranscript(DeviceStrobe(state, *meta))
+        coeffs = jnp.stack([
+            dt.challenge_scalar(b"rand_coeffs_next_layer")
+            for _ in range(i_cnt)])  # [I, W]
+        e = JFr.finish_sum(JFr.sum_columns(JFr.mul(coeffs, claims)))
+
+        eq = jax.lax.fori_loop(
+            0, t, lambda i, eb: _gp_eq_step(eb, rand_acc[i]), JFr.ones(fix))
+
+        a = jax.lax.dynamic_index_in_dim(leaves_l, t, 0, keepdims=False)
+        b = jax.lax.dynamic_index_in_dim(leaves_r, t, 0, keepdims=False)
+        m0 = jnp.int32(1) << t
+
+        round_meta = (dt.s.pos, dt.s.pos_begin, dt.s.cur_flags)
+        lcoeffs0 = jnp.zeros((r_max, 4, W), jnp.uint32)
+        lround_r0 = jnp.zeros((r_max, W), jnp.uint32)
+
+        def rlc(ev_t):  # [I, W] -> [W]
+            return JFr.finish_sum(JFr.sum_columns(JFr.mul(ev_t, coeffs)))
+
+        def round_body(k, carry):
+            st, a, b, c, m, e, lcoeffs, lround_r = carry
+            ev = _cubic_round_evals_masked(a, b, c, m)  # [3, I, W]
+            comb0, comb2, comb3 = rlc(ev[0]), rlc(ev[1]), rlc(ev[2])
+            evals4 = jnp.stack([comb0, JFr.sub(e, comb0), comb2, comb3])
+            cfs = _interp_coeffs_device(evals4, 3)
+
+            rdt = DeviceTranscript(DeviceStrobe(st, *round_meta))
+            _append_round_poly_device(rdt, cfs, 3)
+            r = rdt.challenge_scalar(b"challenge_nextround")
+            assert (rdt.s.pos, rdt.s.pos_begin, rdt.s.cur_flags) == round_meta, \
+                "strobe round trajectory not periodic"
+
+            a = _bind_top_masked(a, m, r)
+            b = _bind_top_masked(b, m, r)
+            c = _bind_top_single_masked(c, m, r)
+            e_new = cfs[3]
+            for j in (2, 1, 0):
+                e_new = JFr.add(JFr.mul(e_new[None], r[None])[0], cfs[j])
+            lcoeffs = jax.lax.dynamic_update_slice(lcoeffs, cfs[None], (k, 0, 0))
+            lround_r = jax.lax.dynamic_update_slice(lround_r, r[None], (k, 0))
+            return rdt.state_tuple(), a, b, c, m // 2, e_new, lcoeffs, lround_r
+
+        state_r, a, b, _c, _m, _e, lcoeffs, lround_r = jax.lax.fori_loop(
+            0, t, round_body,
+            (dt.state_tuple(), a, b, eq, m0, e, lcoeffs0, lround_r0))
+
+        dt2 = DeviceTranscript(DeviceStrobe(state_r, *round_meta))
+        a0, b0 = a[:, 0], b[:, 0]  # [I, W]
+        for i in range(i_cnt):
+            dt2.append_scalar(b"claim_prod_left", a0[i])
+            dt2.append_scalar(b"claim_prod_right", b0[i])
+        r_layer = dt2.challenge_scalar(b"challenge_r_layer")
+        out_meta = (dt2.s.pos, dt2.s.pos_begin, dt2.s.cur_flags)
+
+        claims_new = JFr.add(a0, JFr.mul(r_layer[None], JFr.sub(b0, a0)))
+        rand_new = jnp.concatenate(
+            [r_layer[None], lround_r[: l_max - 1]], axis=0)
+        coeffs_acc = jax.lax.dynamic_update_slice(
+            coeffs_acc, lcoeffs[None], (t, 0, 0, 0))
+        cl_acc = jax.lax.dynamic_update_slice(cl_acc, a0[None], (t, 0, 0))
+        cr_acc = jax.lax.dynamic_update_slice(cr_acc, b0[None], (t, 0, 0))
+        return (dt2.state_tuple(), out_meta, rand_new, claims_new,
+                (coeffs_acc, cl_acc, cr_acc))
+
+    # peel layer 0 (no rounds) at the true entry meta; its exit meta is the
+    # canonical post-challenge position every subsequent layer starts and
+    # ends at (verified by trace-time asserts)
+    meta = _post_challenge_meta()
+    state, out_meta, rand_acc, claims, accs = layer(
+        state0, entry_meta, rand0, claims0, jnp.int32(0),
+        (coeffs_acc0, cl_acc0, cr_acc0))
+    assert out_meta == meta, "strobe peel exit not at canonical position"
+
+    def loop_body(t, carry):
+        state, rand_acc, claims, accs = carry
+        state, out_meta2, rand_acc, claims, accs = layer(
+            state, meta, rand_acc, claims, t, accs)
+        assert out_meta2 == meta, "strobe layer trajectory not periodic"
+        return state, rand_acc, claims, accs
+
+    state, rand_acc, claims, accs = jax.lax.fori_loop(
+        1, num_layers, loop_body, (state, rand_acc, claims, accs))
+    coeffs_acc, cl_acc, cr_acc = accs
+    return state, coeffs_acc, cl_acc, cr_acc, claims, rand_acc
+
+
 @dataclass
 class BatchedGrandProductArgument:
     proof: list[LayerProofBatched]
@@ -101,7 +272,19 @@ class BatchedGrandProductArgument:
         proof_layers: list[LayerProofBatched] = []
         rand: list[int] = []
 
-        for layer_id in range(num_layers - 1, -1, -1):
+        start = 0
+        if _device_sumcheck_supported(transcript):
+            i_cnt = circuits.num_instances
+            budget = max(SUMCHECK_FIX, GP_BUDGET_ELEMS // (num_layers * i_cnt))
+            budget = 1 << (budget.bit_length() - 1)
+            fix = min(1 << (num_layers - 1), GP_FIX_CAP, budget)
+            prefix = min(num_layers, fix.bit_length())  # layers with 2^t <= fix
+            proof_layers, claims_to_verify, rand = \
+                BatchedGrandProductArgument._prove_prefix_device(
+                    circuits, claims_to_verify, prefix, fix, transcript)
+            start = prefix
+
+        for layer_id in range(num_layers - 1 - start, -1, -1):
             a = circuits.left_layers[layer_id]
             b = circuits.right_layers[layer_id]
             layer_len = a.shape[1]
@@ -129,6 +312,71 @@ class BatchedGrandProductArgument:
             proof_layers.append(LayerProofBatched(proof, claims_left, claims_right))
 
         return BatchedGrandProductArgument(proof_layers), rand
+
+    @staticmethod
+    def _prove_prefix_device(circuits, claims_to_verify, prefix: int,
+                             fix: int, transcript):
+        """Run the first `prefix` layers through _device_gp_prefix.
+
+        Returns (proof_layers, claims_to_verify, rand) with the host
+        transcript advanced to the state after layer prefix-1."""
+        from lasso_tpu.transcript.device_strobe import (DeviceStrobe,
+                                                        DeviceTranscript)
+
+        num_layers = circuits.num_layers
+        i_cnt = circuits.num_instances
+
+        def pad_fix(x):  # [I, n, W] -> [I, FIX, W]
+            n = x.shape[1]
+            if n == fix:
+                return x
+            return jnp.concatenate(
+                [x, jnp.zeros((i_cnt, fix - n, W), jnp.uint32)], axis=1)
+
+        stack_l, stack_r = [], []
+        for t in range(prefix):
+            lid = num_layers - 1 - t
+            stack_l.append(pad_fix(circuits.left_layers[lid]))
+            stack_r.append(pad_fix(circuits.right_layers[lid]))
+        leaves_l = jnp.stack(stack_l)
+        leaves_r = jnp.stack(stack_r)
+
+        dt = DeviceTranscript.from_host(transcript)
+        entry_meta = (dt.s.pos, dt.s.pos_begin, dt.s.cur_flags)
+        claims0 = JFr.encode_ints(claims_to_verify)
+        state, coeffs_acc, cl_acc, cr_acc, claims_dev, rand_dev = \
+            _device_gp_prefix(dt.s.state, leaves_l, leaves_r, claims0,
+                              jnp.int32(prefix), i_cnt, entry_meta)
+
+        flat = jnp.concatenate([
+            coeffs_acc.reshape(-1, W), cl_acc.reshape(-1, W),
+            cr_acc.reshape(-1, W), claims_dev, rand_dev], axis=0)
+        vals = JFr.decode(flat)
+        r_max = max(prefix - 1, 1)
+        off_cf = 0
+        off_cl = prefix * r_max * 4
+        off_cr = off_cl + prefix * i_cnt
+        off_claims = off_cr + prefix * i_cnt
+        off_rand = off_claims + i_cnt
+
+        out = DeviceTranscript(DeviceStrobe(None, *_post_challenge_meta()))
+        out.restore_to_host(transcript, np.asarray(state))
+
+        proof_layers: list[LayerProofBatched] = []
+        for t in range(prefix):
+            polys = []
+            base = off_cf + t * r_max * 4
+            for k in range(t):
+                polys.append(UniPoly(vals[base + 4 * k: base + 4 * k + 4])
+                             .compress())
+            cl = vals[off_cl + t * i_cnt: off_cl + (t + 1) * i_cnt]
+            cr = vals[off_cr + t * i_cnt: off_cr + (t + 1) * i_cnt]
+            proof_layers.append(
+                LayerProofBatched(SumcheckInstanceProof(polys), cl, cr))
+
+        claims_out = vals[off_claims: off_claims + i_cnt]
+        rand_out = vals[off_rand: off_rand + prefix]
+        return proof_layers, claims_out, rand_out
 
     def verify(self, claims_prod_vec: list[int], n: int, transcript):
         """Returns (claims_to_verify, rand). Host-side."""

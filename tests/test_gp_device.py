@@ -1,0 +1,64 @@
+"""Device-fused grand-product argument vs host path: proofs, rand and the
+full transcript state must be bit-identical (grand_product._device_gp_prefix).
+
+Runs only where the device transcript path is supported (TPU backend); on
+CPU the host path is the only path and the parity claim is vacuous.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from lasso_tpu.field.jfield import JFr
+from lasso_tpu.subprotocols.grand_product import (BatchedGrandProductArgument,
+                                                  BatchedGrandProductCircuit)
+from lasso_tpu.transcript.proof_transcript import ProofTranscript
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.default_rng(3)
+    return JFr.encode_u64_array(
+        rng.integers(1, 1 << 30, size=(2, 256)).astype(np.uint64))
+
+
+def _run(inputs, dev: bool):
+    old = os.environ.get("LASSO_TPU_DEVICE_TRANSCRIPT")
+    os.environ["LASSO_TPU_DEVICE_TRANSCRIPT"] = "1" if dev else "0"
+    try:
+        circ = BatchedGrandProductCircuit(inputs)
+        tr = ProofTranscript(b"gp")
+        arg, rand = BatchedGrandProductArgument.prove(circ, tr)
+        post = tr.challenge_scalar(b"post")  # pins the full strobe state
+        return arg, rand, post
+    finally:
+        if old is None:
+            os.environ.pop("LASSO_TPU_DEVICE_TRANSCRIPT", None)
+        else:
+            os.environ["LASSO_TPU_DEVICE_TRANSCRIPT"] = old
+
+
+def test_fused_gp_prefix_bit_identical(inputs):
+    if jax.default_backend() != "tpu":
+        pytest.skip("device transcript path requires the TPU backend")
+
+    arg_h, rand_h, post_h = _run(inputs, False)
+    arg_d, rand_d, post_d = _run(inputs, True)
+
+    assert rand_d == rand_h
+    assert post_d == post_h
+    assert len(arg_d.proof) == len(arg_h.proof)
+    for ld, lh in zip(arg_d.proof, arg_h.proof):
+        assert ld.claims_prod_left == lh.claims_prod_left
+        assert ld.claims_prod_right == lh.claims_prod_right
+        for a, b in zip(ld.proof.compressed_polys, lh.proof.compressed_polys):
+            assert a.coeffs_except_linear_term == b.coeffs_except_linear_term
+
+    # the (host) verifier accepts the device-built argument
+    circ = BatchedGrandProductCircuit(inputs)
+    claims = circ.evaluate()
+    out_claims, out_rand = arg_d.verify(claims, 256, ProofTranscript(b"gp"))
+    assert out_rand == rand_d
