@@ -181,39 +181,44 @@ class HashLayerProof:
     def prove(rand_mem, rand_ops, dense, subtables, gens, transcript, random_tape):
         transcript.append_protocol_name(HashLayerProof.PROTOCOL_NAME)
 
-        chis_ops = eq_evals_device([JFr.encode_scalar(x) for x in rand_ops])
-        chis_mem = eq_evals_device([JFr.encode_scalar(x) for x in rand_mem])
+        with span("HashLayer.eq_tables"):
+            chis_ops = eq_evals_device([JFr.encode_scalar(x) for x in rand_ops])
+            chis_mem = eq_evals_device([JFr.encode_scalar(x) for x in rand_mem])
 
         # decommit E_i at rand_ops
-        eval_derefs = subtables.evaluate_lookups_at(chis_ops)
+        with span("HashLayer.eval_derefs"):
+            eval_derefs = subtables.evaluate_lookups_at(chis_ops)
         proof_derefs = CombinedTableEvalProof.prove(
             subtables.combined_poly, eval_derefs, rand_ops,
             gens.gens_derefs, transcript, random_tape)
 
         c = dense.c
-        dim_read_stack = jnp.stack(
-            [p.z for p in dense.dim] + [p.z for p in dense.read])
-        dim_read_evals = _evaluate_stack_at(dim_read_stack, chis_ops)
-        eval_dim, eval_read = dim_read_evals[:c], dim_read_evals[c:]
-        final_stack = jnp.stack([p.z for p in dense.final])
-        eval_final = _evaluate_stack_at(final_stack, chis_mem)
+        with span("HashLayer.stack_evals"):
+            dim_read_stack = jnp.stack(
+                [p.z for p in dense.dim] + [p.z for p in dense.read])
+            dim_read_evals = _evaluate_stack_at(dim_read_stack, chis_ops)
+            eval_dim, eval_read = dim_read_evals[:c], dim_read_evals[c:]
+            final_stack = jnp.stack([p.z for p in dense.final])
+            eval_final = _evaluate_stack_at(final_stack, chis_mem)
 
-        evals_ops = eval_dim + eval_read
-        evals_ops += [0] * (_next_pow2(len(evals_ops)) - len(evals_ops))
-        transcript.append_scalars(b"claim_evals_ops", evals_ops)
-        challenges_ops = transcript.challenge_vector(
-            b"challenge_combine_n_to_one", (len(evals_ops) - 1).bit_length())
+        with span("HashLayer.fold_ops"):
+            evals_ops = eval_dim + eval_read
+            evals_ops += [0] * (_next_pow2(len(evals_ops)) - len(evals_ops))
+            transcript.append_scalars(b"claim_evals_ops", evals_ops)
+            challenges_ops = transcript.challenge_vector(
+                b"challenge_combine_n_to_one", (len(evals_ops) - 1).bit_length())
 
-        vals = evals_ops
-        for ch in reversed(challenges_ops):
-            vals = bound_var_bot_host(vals, ch)
-        joint_claim_eval_ops = vals[0]
-        r_joint_ops = challenges_ops + list(rand_ops)
-        transcript.append_scalar(b"joint_claim_eval_ops", joint_claim_eval_ops)
-        proof_ops, _ = PolyEvalProof.prove(
-            dense.combined_l_variate_polys, None, r_joint_ops,
-            joint_claim_eval_ops, None, gens.gens_combined_l_variate,
-            transcript, random_tape)
+            vals = evals_ops
+            for ch in reversed(challenges_ops):
+                vals = bound_var_bot_host(vals, ch)
+            joint_claim_eval_ops = vals[0]
+            r_joint_ops = challenges_ops + list(rand_ops)
+            transcript.append_scalar(b"joint_claim_eval_ops", joint_claim_eval_ops)
+        with span("HashLayer.open_ops"):
+            proof_ops, _ = PolyEvalProof.prove(
+                dense.combined_l_variate_polys, None, r_joint_ops,
+                joint_claim_eval_ops, None, gens.gens_combined_l_variate,
+                transcript, random_tape)
 
         transcript.append_scalars(b"claim_evals_mem", eval_final)
         challenges_mem = transcript.challenge_vector(

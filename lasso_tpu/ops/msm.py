@@ -209,8 +209,14 @@ def max_scalar_bits(scalar_int_limbs) -> int:
 MSM_HOST_MAX = int(os.environ.get("LASSO_TPU_MSM_HOST_MAX", "256"))
 
 
-def msm_device(points, scalars_mont, modulus_bits: int = 253):
+def msm_device(points, scalars_mont, modulus_bits: int = 253,
+               full_width: bool = False):
     """MSM with reference window policy. `scalars_mont`: [n,W] Montgomery Fr.
+
+    `full_width=True` skips the small-scalar width scan (one device->host
+    sync) for callers whose scalars are known to be ~field-sized (bullet
+    folds, blinded vectors) -- the scan only pays off for genuinely small
+    scalars (indices/counters/table values).
 
     Returns a device point [4, W].
     """
@@ -225,7 +231,7 @@ def msm_device(points, scalars_mont, modulus_bits: int = 253):
         res = hostcurve.msm_host(host_pts, host_scalars)
         return from_host_points([res])
     scalars_int = JFr.to_int_limbs(scalars_mont)
-    max_bits = max_scalar_bits(scalars_int)
+    max_bits = modulus_bits if full_width else max_scalar_bits(scalars_int)
     if max_bits > 60:
         max_bits = modulus_bits
     c, num_windows = window_plan(n, max_bits)

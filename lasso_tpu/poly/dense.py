@@ -39,18 +39,26 @@ def _bound_var_bot(z, r):
     return JFr.add(lo, JFr.mul(r, JFr.sub(hi, lo)))
 
 
+@jax.jit
+def _eq_evals_stacked(r_stack):
+    """[l, W] challenges -> [2^l, W] eq table; one fused dispatch."""
+    e = JFr.ones(1)
+    for i in range(r_stack.shape[0]):  # static from shape
+        t = JFr.mul(e, r_stack[i])  # e * r_j
+        rest = JFr.sub(e, t)  # e * (1 - r_j)
+        e = jnp.stack([rest, t], axis=1).reshape(-1, W)
+    return e
+
+
 def eq_evals_device(r_list) -> jnp.ndarray:
     """eq(r, .) table over {0,1}^len(r): [2^l, W].
 
     Layout matches the reference (src/poly/eq_poly.rs:21-38): index MSB
-    corresponds to r[0].  Built by log(l) doubling steps of fused mul/sub.
-    """
-    e = JFr.ones(1)
-    for r in r_list:
-        t = JFr.mul(e, r)  # e * r_j
-        rest = JFr.sub(e, t)  # e * (1 - r_j)
-        e = jnp.stack([rest, t], axis=1).reshape(-1, W)
-    return e
+    corresponds to r[0].  One jitted dispatch (an eager per-variable loop
+    costs ~50ms of tunnel dispatch per step)."""
+    if not r_list:
+        return JFr.ones(1)
+    return _eq_evals_stacked(jnp.stack(list(r_list)))
 
 
 class DensePolynomial:

@@ -97,15 +97,17 @@ class PolyEvalProof:
         blind_zr = blind_zr if blind_zr is not None else 0
         assert len(blinds) == l_size
 
-        l_ints = eq_evals_host(r[:left])
-        r_ints = eq_evals_host(r[left:])
+        from lasso_tpu.utils.tracing import span
+        with span("PEP.eq_and_bound"):
+            l_ints = eq_evals_host(r[:left])
+            r_ints = eq_evals_host(r[left:])
 
-        lz = poly.bound(JFr.encode_ints(l_ints))  # [r_size, W]
-        lz_blind = sum(b * l for b, l in zip(blinds, l_ints)) % Fr.p
+            lz = poly.bound(JFr.encode_ints(l_ints))  # [r_size, W]
+            lz_blind = sum(b * l for b, l in zip(blinds, l_ints)) % Fr.p
 
         proof, _c_lr, c_zr = DotProductProofLog.prove(
             gens.gens, transcript, random_tape, lz, lz_blind,
-            JFr.encode_ints(r_ints), zr, blind_zr)
+            JFr.encode_ints(r_ints), zr, blind_zr, a_host=r_ints)
         return PolyEvalProof(proof), c_zr
 
     def verify(self, gens: PolyCommitmentGens, transcript, r: list[int],

@@ -115,11 +115,11 @@ class BulletReductionProof:
                 l_scalars = jnp.concatenate(
                     [a_lo, JFr.encode_ints([c_l, blind_l])], axis=0)
                 l_bases = jnp.concatenate([g_hi, qh_dev], axis=-1)
-                l_pt = to_host_point(msm_device(l_bases, l_scalars))
+                l_pt = to_host_point(msm_device(l_bases, l_scalars, full_width=True))
                 r_scalars = jnp.concatenate(
                     [a_hi, JFr.encode_ints([c_r, blind_r])], axis=0)
                 r_bases = jnp.concatenate([g_lo, qh_dev], axis=-1)
-                r_pt = to_host_point(msm_device(r_bases, r_scalars))
+                r_pt = to_host_point(msm_device(r_bases, r_scalars, full_width=True))
 
             transcript.append_point(b"L", l_pt)
             transcript.append_point(b"R", r_pt)

@@ -31,13 +31,14 @@ def _gens_device(gens: MultiCommitGens):
     return dev
 
 
-def batch_commit(values_dev, blind: int, gens: MultiCommitGens) -> hostcurve.Point:
+def batch_commit(values_dev, blind: int, gens: MultiCommitGens,
+                 full_width: bool = False) -> hostcurve.Point:
     """MSM commitment <values, G> + blind * h (values: [n, W] device Fr)."""
     n = values_dev.shape[0]
     assert gens.n == n, f"gens size {gens.n} != {n}"
     pts = _gens_device(gens)
     scalars = jnp.concatenate([values_dev, JFr.encode_ints([blind])], axis=0)
-    return to_host_point(msm_device(pts, scalars))
+    return to_host_point(msm_device(pts, scalars, full_width=full_width))
 
 
 @dataclass
@@ -134,8 +135,10 @@ class DotProductProofLog:
     @staticmethod
     @instrument("DotProductProofLog.prove")
     def prove(gens: DotProductProofGens, transcript, random_tape,
-              x_dev, blind_x: int, a_dev, y: int, blind_y: int):
-        """x_dev, a_dev: [n, W] device Fr vectors.
+              x_dev, blind_x: int, a_dev, y: int, blind_y: int,
+              a_host=None):
+        """x_dev, a_dev: [n, W] device Fr vectors; a_host optionally carries
+        the same `a` as host ints (public vector) to skip a decode sync.
 
         Returns (proof, Cx, Cy)."""
         transcript.append_protocol_name(DotProductProofLog.PROTOCOL_NAME)
@@ -151,18 +154,23 @@ class DotProductProofLog:
         v2 = random_tape.random_vector(b"blinds_vec_2", 2 * lg_n)
         blinds_vec = list(zip(v1, v2))
 
-        cx = batch_commit(x_dev, blind_x, gens.gens_n)
+        from lasso_tpu.utils.tracing import span
+        with span("DPPL.commit_x"):
+            cx = batch_commit(x_dev, blind_x, gens.gens_n, full_width=True)
         transcript.append_point(b"Cx", cx)
         y_val = y % Fr.p
         cy = commit_scalar(y_val, blind_y, gens.gens_1)
         transcript.append_point(b"Cy", cy)
-        a_ints = JFr.decode(a_dev)
-        transcript.append_scalars(b"a", a_ints)
+        with span("DPPL.append_a"):
+            a_ints = a_host if a_host is not None else JFr.decode(a_dev)
+            transcript.append_scalars(b"a", a_ints)
 
         blind_gamma = (blind_x + blind_y) % Fr.p
         g_dev = _gens_device(gens.gens_n)[..., : gens.n]
-        (bullet_proof, _gamma_hat, x_hat, a_hat, g_hat, rhat_gamma) = \
-            BulletReductionProof.prove(
+        from lasso_tpu.utils.tracing import span as _span
+        with _span("DPPL.bullet"):
+            (bullet_proof, _gamma_hat, x_hat, a_hat, g_hat, rhat_gamma) = \
+                BulletReductionProof.prove(
                 transcript, gens.gens_1.G[0], g_dev, gens.gens_n.h,
                 x_dev, a_dev, blind_gamma, blinds_vec)
 
