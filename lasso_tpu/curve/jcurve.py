@@ -236,3 +236,39 @@ def to_host_points(arr) -> list[hostcurve.Point]:
 
 def to_host_point(arr) -> hostcurve.Point:
     return to_host_points(arr.reshape(4, W, -1))[0]
+
+
+# ark serialize_compressed on device --------------------------------------
+
+_HALF_P1 = np.asarray(K.limbs_of((HostFp.p + 1) // 2), dtype=np.uint32)
+
+
+def compress_points_device(pts) -> jnp.ndarray:
+    """[4, W, n] extended Montgomery points -> [n, 32] uint32 compressed
+    bytes, byte-exact with host Point.to_compressed_bytes (ark twisted
+    Edwards: canonical-LE y with the 'x is negative' flag in the top bit).
+
+    Normalization uses a sync-free Fermat inverse of Z; 'negative' means
+    x >= (p+1)/2, evaluated limb-lexicographically on canonical limbs.
+    """
+    x_m = jnp.moveaxis(pts[0], -1, -2)  # [n, W] Montgomery
+    y_m = jnp.moveaxis(pts[1], -1, -2)
+    z_m = jnp.moveaxis(pts[2], -1, -2)
+    zinv = JFp.inv_device(z_m)
+    xa = JFp.to_int_limbs(JFp.mul(x_m, zinv))  # canonical 16-bit limbs
+    ya = JFp.to_int_limbs(JFp.mul(y_m, zinv))
+
+    half = jnp.asarray(_HALF_P1)
+    ge = jnp.zeros(xa.shape[:-1], jnp.bool_)
+    decided = jnp.zeros(xa.shape[:-1], jnp.bool_)
+    for i in range(W - 1, -1, -1):
+        gt = xa[..., i] > half[i]
+        lt = xa[..., i] < half[i]
+        ge = jnp.where(~decided & gt, True, ge)
+        decided = decided | gt | lt
+    ge = jnp.where(~decided, True, ge)  # x == (p+1)/2 is negative too
+
+    lo = ya & 0xFF
+    hi = (ya >> 8) & 0xFF
+    by = jnp.stack([lo, hi], axis=-1).reshape(ya.shape[:-1] + (32,))
+    return by.at[..., 31].set(by[..., 31] | (ge.astype(jnp.uint32) << 7))

@@ -328,6 +328,27 @@ class JField:
         self._canon = jax.jit(functools.partial(_canon_wide, p_shifts=self.p_shifts))
         self._sum = jax.jit(self._sum_impl)
 
+        # p-2 exponent bits, MSB first, for Fermat inversion on device
+        e = p - 2
+        self._inv_exp_bits = np.asarray(
+            [(e >> i) & 1 for i in range(e.bit_length() - 1, -1, -1)],
+            dtype=np.uint32)
+
+    def inv_device(self, x) -> jnp.ndarray:
+        """Fermat inverse x^(p-2) of Montgomery elements [..., W] on device.
+
+        A fori_loop square-and-multiply over the constant exponent bits;
+        ~2*255 sequential small muls, negligible inside a fused kernel and
+        sync-free (vs a host round trip for an extended-gcd inverse)."""
+        bits = jnp.asarray(self._inv_exp_bits)
+
+        def body(i, acc):
+            acc = self.mul(acc, acc)
+            return jnp.where(bits[i] == 1, self.mul(acc, x), acc)
+
+        one = jnp.broadcast_to(jnp.asarray(self.mont_one), x.shape)
+        return jax.lax.fori_loop(0, bits.shape[0], body, one)
+
     def mul(self, a, b) -> jnp.ndarray:
         """Montgomery product; the fused Pallas kernel when lowering for
         TPU (ops/field_pallas.py), XLA elementwise otherwise.  The platform

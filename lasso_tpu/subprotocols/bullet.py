@@ -9,16 +9,18 @@ vector of points).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from lasso_tpu.curve import host as hostcurve
 from lasso_tpu.curve.jcurve import identity, padd, pdbl, pselect, to_host_point
 from lasso_tpu.field.host import Fr
-from lasso_tpu.field.jfield import JFr, pack_int
+from lasso_tpu.field.jfield import JFr, W, pack_int
 from lasso_tpu.ops.msm import msm_device
 from lasso_tpu.utils.errors import InputTooLarge, InvalidInputLength
 
@@ -54,10 +56,163 @@ def _dot(a, b):
     return JFr.sum(JFr.mul(a, b))
 
 
+# ---------------------------------------------------------------------------
+# Fully on-device bullet reduction.
+#
+# Every round's L/R commitments are MSMs over FOLDED bases g^(k); folding
+# points on device would cost a scalar-mul ladder per round.  Instead the
+# fold is carried on the SCALAR side ("delayed fold"): original basis G_j
+# appears in g^(k) at position (j mod m) with weight w_j = prod over earlier
+# rounds of (u if the round's half-bit of j else u^-1), so
+#     L_k = MSM(G, s)  with  s_j = w_j * a_lo[(j mod m) - m/2]  (hi half)
+# over the FIXED original bases -- one Pippenger kernel per round, no point
+# folds at all.  L/R are ark-compressed on device (Fermat Z-inverse) and
+# absorbed by the on-device STROBE transcript, so the whole reduction is
+# ONE dispatch + two transfers regardless of round count.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("num_rounds", "entry_meta"))
+def _device_bullet(state0, a0, b0, g_pts, qh_pts, blinds_l, blinds_r,
+                   num_rounds: int, entry_meta):
+    """a0, b0: [n, W] Montgomery (n = 2^num_rounds); g_pts: [4, W, n];
+    qh_pts: [4, W, 2] (q, h); blinds_l/r: [num_rounds, W] Montgomery.
+
+    Returns (state, lr_acc [rounds, 2, 4, W] extended points,
+    u_acc [rounds, W], a_fin [W], b_fin [W], g_fin [4, W, 1])."""
+    from lasso_tpu.curve.jcurve import compress_points_device
+    from lasso_tpu.ops.msm import _msm_kernel, window_plan
+    from lasso_tpu.transcript.device_strobe import (DeviceStrobe,
+                                                    DeviceTranscript)
+    from lasso_tpu.subprotocols.grand_product import _post_challenge_meta
+
+    n = a0.shape[0]
+    assert n == 1 << num_rounds
+    bases = jnp.concatenate([g_pts, qh_pts], axis=-1)  # [4, W, n+2]
+    c_w, n_w = window_plan(n + 2, 253)
+    c_g, n_g = window_plan(max(n, 2), 253)
+    idx = jnp.arange(n)
+
+    lr_acc0 = jnp.zeros((num_rounds, 2, 4, W), jnp.uint32)
+    u_acc0 = jnp.zeros((num_rounds, W), jnp.uint32)
+    w0 = JFr.ones(n)
+
+    def round_step(state, meta, a, b, w, k, lr_acc, u_acc):
+        m = n >> k
+        half = m >> 1
+        mask_half = (idx < half)[:, None]
+
+        a_hi = jnp.roll(a, -half, axis=0)
+        b_hi = jnp.roll(b, -half, axis=0)
+        c_l = JFr.finish_sum(JFr.sum_columns(
+            jnp.where(mask_half, JFr.mul(a, b_hi), 0)))
+        c_r = JFr.finish_sum(JFr.sum_columns(
+            jnp.where(mask_half, JFr.mul(a_hi, b), 0)))
+
+        shift = num_rounds - 1 - k if isinstance(k, int) else \
+            jnp.int32(num_rounds - 1) - k
+        hi_bit = ((idx >> shift) & 1).astype(jnp.bool_)
+        pj = idx & (m - 1)
+        a_for_l = jnp.take(a, jnp.where(hi_bit, pj - half, 0), axis=0)
+        a_for_r = jnp.take(a, jnp.where(hi_bit, 0, pj + half), axis=0)
+        s_l = jnp.where(hi_bit[:, None], JFr.mul(w, a_for_l), 0)
+        s_r = jnp.where(hi_bit[:, None], 0, JFr.mul(w, a_for_r))
+
+        full_l = jnp.concatenate(
+            [s_l, c_l[None], blinds_l[k][None]], axis=0)
+        full_r = jnp.concatenate(
+            [s_r, c_r[None], blinds_r[k][None]], axis=0)
+        l_pt = _msm_kernel(bases, JFr.to_int_limbs(full_l),
+                           c=c_w, num_windows=n_w)
+        r_pt = _msm_kernel(bases, JFr.to_int_limbs(full_r),
+                           c=c_w, num_windows=n_w)
+        lr = jnp.concatenate([l_pt, r_pt], axis=-1)  # [4, W, 2]
+        cb = compress_points_device(lr)  # [2, 32]
+
+        dt = DeviceTranscript(DeviceStrobe(state, *meta))
+        dt.append_point_bytes(b"L", cb[0])
+        dt.append_point_bytes(b"R", cb[1])
+        u = dt.challenge_scalar(b"u")
+        out_meta = (dt.s.pos, dt.s.pos_begin, dt.s.cur_flags)
+        u_inv = JFr.inv_device(u)
+
+        a = JFr.add(JFr.mul(a, u[None]), JFr.mul(a_hi, u_inv[None]))
+        b = JFr.add(JFr.mul(b, u_inv[None]), JFr.mul(b_hi, u[None]))
+        w = JFr.mul(w, jnp.where(hi_bit[:, None], u[None], u_inv[None]))
+
+        lr_ext = jnp.moveaxis(lr, -1, 0)[None]  # [1, 2, 4, W]
+        lr_acc = jax.lax.dynamic_update_slice(lr_acc, lr_ext, (k, 0, 0, 0))
+        u_acc = jax.lax.dynamic_update_slice(u_acc, u[None], (k, 0))
+        return dt.state_tuple(), out_meta, a, b, w, lr_acc, u_acc
+
+    meta = _post_challenge_meta()
+    state, out_meta, a, b, w, lr_acc, u_acc = round_step(
+        state0, entry_meta, a0, b0, w0, jnp.int32(0), lr_acc0, u_acc0)
+    assert out_meta == meta, "bullet peel exit not at canonical position"
+
+    def body(k, carry):
+        state, a, b, w, lr_acc, u_acc = carry
+        state, om, a, b, w, lr_acc, u_acc = round_step(
+            state, meta, a, b, w, k, lr_acc, u_acc)
+        assert om == meta, "bullet round trajectory not periodic"
+        return state, a, b, w, lr_acc, u_acc
+
+    state, a, b, w, lr_acc, u_acc = jax.lax.fori_loop(
+        1, num_rounds, body, (state, a, b, w, lr_acc, u_acc))
+
+    g_fin = _msm_kernel(g_pts, JFr.to_int_limbs(w), c=c_g, num_windows=n_g)
+    return state, lr_acc, u_acc, a[0], b[0], g_fin
+
+
 @dataclass
 class BulletReductionProof:
     L_vec: list[hostcurve.Point]
     R_vec: list[hostcurve.Point]
+
+    @staticmethod
+    def _prove_device(transcript, q_point, g_dev, h_point, a_vec, b_vec,
+                      blind: int, blinds_vec):
+        """On-device reduction; bit-exact with the host path."""
+        from lasso_tpu.curve.jcurve import from_host_points, to_host_points
+        from lasso_tpu.transcript.device_strobe import (DeviceStrobe,
+                                                        DeviceTranscript)
+        from lasso_tpu.subprotocols.grand_product import _post_challenge_meta
+
+        n = a_vec.shape[0]
+        lg_n = (n - 1).bit_length()
+        qh_dev = from_host_points([q_point, h_point])
+        blinds_l = JFr.encode_ints([bl for bl, _ in blinds_vec])
+        blinds_r = JFr.encode_ints([br for _, br in blinds_vec])
+
+        dt = DeviceTranscript.from_host(transcript)
+        entry_meta = (dt.s.pos, dt.s.pos_begin, dt.s.cur_flags)
+        state, lr_acc, u_acc, a_fin_d, b_fin_d, g_fin = _device_bullet(
+            dt.s.state, a_vec, b_vec, g_dev, qh_dev, blinds_l, blinds_r,
+            lg_n, entry_meta)
+
+        flat = JFr.decode(jnp.concatenate(
+            [u_acc, a_fin_d[None], b_fin_d[None]], axis=0))
+        us = flat[:lg_n]
+        a_fin, b_fin = flat[lg_n], flat[lg_n + 1]
+        # [rounds, 2, 4, W] -> [4, W, 2*rounds] for one batched transfer
+        lr_pts = to_host_points(
+            jnp.moveaxis(lr_acc.reshape(2 * lg_n, 4, W), 0, -1))
+        l_points = lr_pts[0::2]
+        r_points = lr_pts[1::2]
+        g_fin_host = to_host_points(g_fin)[0]
+
+        out = DeviceTranscript(DeviceStrobe(None, *_post_challenge_meta()))
+        out.restore_to_host(transcript, np.asarray(state))
+
+        blind_fin = blind % Fr.p
+        for (bl, br), u in zip(blinds_vec, us):
+            u_inv = Fr.inv(u)
+            blind_fin = (blind_fin + bl * u * u + br * u_inv * u_inv) % Fr.p
+
+        gamma_hat = g_fin_host.mul(a_fin).add(
+            q_point.mul(a_fin * b_fin % Fr.p)).add(h_point.mul(blind_fin))
+        return (BulletReductionProof(l_points, r_points),
+                gamma_hat, a_fin, b_fin, g_fin_host, blind_fin)
 
     @staticmethod
     def prove(transcript, q_point: hostcurve.Point, g_dev, h_point: hostcurve.Point,
@@ -72,6 +227,12 @@ class BulletReductionProof:
         assert n & (n - 1) == 0
         lg_n = (n - 1).bit_length()
         assert len(blinds_vec) == 2 * lg_n
+
+        from lasso_tpu.subprotocols.sumcheck import _device_sumcheck_supported
+        if n > 1 and _device_sumcheck_supported(transcript):
+            return BulletReductionProof._prove_device(
+                transcript, q_point, g_dev, h_point, a_vec, b_vec, blind,
+                blinds_vec)
 
         qh_dev = from_host_points([q_point, h_point])
         l_points: list[hostcurve.Point] = []

@@ -278,6 +278,17 @@ class DeviceTranscript:
         self.s.meta_ad_static(_u32_le(len(message)), True)
         self.s.ad_static(message, False)
 
+    def append_message_dynamic(self, label: bytes, byte_vec) -> None:
+        """Traced message bytes ([k] uint32) under a static label/length."""
+        self.s.meta_ad_static(label, False)
+        self.s.meta_ad_static(_u32_le(int(byte_vec.shape[0])), True)
+        self.s.ad_dynamic(byte_vec, False)
+
+    def append_point_bytes(self, label: bytes, compressed32) -> None:
+        """Mirror of host append_point for a device-compressed point
+        ([32] uint32 bytes from curve.jcurve.compress_points_device)."""
+        self.append_message_dynamic(label, compressed32)
+
     def append_scalar(self, label: bytes, scalar_mont) -> None:
         """scalar_mont: [W] Montgomery limbs -> canonical 32-byte LE append."""
         from lasso_tpu.field.jfield import JFr
