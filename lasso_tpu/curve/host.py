@@ -96,6 +96,31 @@ class Point:
     def mul_by_cofactor(self) -> "Point":
         return self.double().double().double()
 
+    def _mul_unreduced(self, k: int) -> "Point":
+        """Scalar mul WITHOUT reducing k mod the subgroup order (needed for
+        subgroup-membership checks, where mul(Fr.p) must not collapse to
+        mul(0))."""
+        if _native_curve():
+            from lasso_tpu import native
+            got = native.point_mul(self, k)
+            if got is not None:
+                return got
+        acc = Point.identity()
+        base = self
+        while k:
+            if k & 1:
+                acc = acc.add(base)
+            base = base.double()
+            k >>= 1
+        return acc
+
+    def is_in_subgroup(self) -> bool:
+        """Prime-order-subgroup membership (curve25519 has cofactor 8);
+        matches ark's is_in_correct_subgroup_assuming_on_curve
+        (validated by default in ark's deserialize_compressed, which the
+        reference's proof derives rely on, e.g. src/lasso/surge.rs:61)."""
+        return self._mul_unreduced(Fr.p).is_identity()
+
     def eq(self, q: "Point") -> bool:
         # X1/Z1 == X2/Z2 and Y1/Z1 == Y2/Z2
         return (self.x * q.z - q.x * self.z) % _P == 0 and (
@@ -118,17 +143,25 @@ class Point:
         return bytes(buf)
 
     @staticmethod
-    def from_compressed_bytes(data: bytes) -> "Point":
+    def from_compressed_bytes(data: bytes, validate: bool = True) -> "Point":
+        """ark-ec deserialize_compressed semantics: decompress (on-curve by
+        construction) AND, with validate=True (ark's Validate::Yes default),
+        check prime-order-subgroup membership so attacker-supplied bytes
+        cannot smuggle low-order components into a proof."""
+        from lasso_tpu.utils.errors import DecompressionError
         if len(data) != 32:
-            raise ValueError("bad point encoding length")
+            raise DecompressionError("bad point encoding length")
         buf = bytearray(data)
         x_neg = bool(buf[-1] & 0x80)
         buf[-1] &= 0x7F
         y = Fp.from_bytes(bytes(buf))
         x = _x_from_y(y, x_neg)
         if x is None:
-            raise ValueError("point decompression failed")
-        return Point.from_affine(x, y)
+            raise DecompressionError("point decompression failed")
+        pt = Point.from_affine(x, y)
+        if validate and not pt.is_in_subgroup():
+            raise DecompressionError("point not in prime-order subgroup")
+        return pt
 
 
 def _x_from_y(y: int, want_negative: bool):

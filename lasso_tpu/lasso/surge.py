@@ -25,7 +25,7 @@ from lasso_tpu.subprotocols.sumcheck import (SumcheckInstanceProof,
 from lasso_tpu.subtables.base import HostOps, SubtableStrategy
 from lasso_tpu.subtables.container import (CombinedTableCommitment,
                                            CombinedTableEvalProof, Subtables)
-from lasso_tpu.utils.errors import LassoError
+from lasso_tpu.utils.errors import InvalidInputLength, LassoError
 from lasso_tpu.utils.tracing import instrument, span
 
 
@@ -77,7 +77,14 @@ class SparsePolynomialEvaluationProof:
     @instrument("SparsePoly.prove")
     def prove(dense: DensifiedRepresentation, r: list[int],
               gens: SparsePolyCommitmentGens, strategy: SubtableStrategy,
-              transcript, random_tape) -> "SparsePolynomialEvaluationProof":
+              transcript, random_tape, mesh=None
+              ) -> "SparsePolynomialEvaluationProof":
+        if mesh is not None:
+            # multi-chip path: full prove under the mesh, byte-identical
+            # proofs (parallel/eprover.py)
+            from lasso_tpu.parallel.eprover import prove_sharded
+            return prove_sharded(
+                dense, r, gens, strategy, mesh, transcript, random_tape)
         transcript.append_protocol_name(
             SparsePolynomialEvaluationProof.PROTOCOL_NAME)
         assert len(r) == _log2(dense.s)
@@ -120,7 +127,8 @@ class SparsePolynomialEvaluationProof:
                gens: SparsePolyCommitmentGens, transcript) -> None:
         transcript.append_protocol_name(
             SparsePolynomialEvaluationProof.PROTOCOL_NAME)
-        assert len(eq_randomness) == _log2(commitment.s)
+        if len(eq_randomness) != _log2(commitment.s):
+            raise InvalidInputLength(_log2(commitment.s), len(eq_randomness))
 
         self.comm_derefs.append_to_transcript(
             b"comm_poly_row_col_ops_val", transcript)

@@ -34,14 +34,54 @@ def _build() -> bool:
         return False
 
 
+def _build_key() -> str:
+    """Rebuild key: source content hash + host CPU tag.
+
+    The library is built with -march=native and is NOT committed (git does
+    not preserve mtimes, and a binary from another CPU could SIGILL), so the
+    key must change when either the source or the host changes."""
+    import hashlib
+    import platform
+
+    h = hashlib.sha256()
+    try:
+        with open(os.path.abspath(_SRC), "rb") as f:
+            h.update(f.read())
+    except OSError:
+        return ""
+    h.update(platform.machine().encode())
+    h.update(platform.processor().encode())
+    try:
+        with open("/proc/cpuinfo", "rb") as f:
+            for line in f:
+                if line.startswith(b"model name") or line.startswith(b"flags"):
+                    h.update(line)
+                    break
+    except OSError:
+        pass
+    return h.hexdigest()
+
+
 def _load():
     global _lib
     if os.environ.get("LASSO_TPU_NATIVE", "1") in ("0", "off"):
         return None
-    src_mtime = os.path.getmtime(_SRC) if os.path.exists(_SRC) else 0
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
+    key = _build_key()
+    key_path = _SO + ".key"
+    have_key = ""
+    try:
+        with open(key_path) as f:
+            have_key = f.read().strip()
+    except OSError:
+        pass
+    if not os.path.exists(_SO) or not key or have_key != key:
         if not _build():
             return None
+        try:
+            with open(key_path, "w") as f:
+                f.write(key)
+        except OSError:
+            pass
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:

@@ -39,6 +39,12 @@ def make_mesh(n_devices: int | None = None, platform: str | None = None) -> Mesh
                 devices = jax.devices("cpu")
             except Exception:
                 pass
+        if len(devices) < n_devices:
+            # never truncate silently: cyclic layouts prepared for n_devices
+            # would be wrong on a smaller mesh
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices exist")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (AXIS,))
 

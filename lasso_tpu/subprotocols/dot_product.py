@@ -190,7 +190,10 @@ class DotProductProofLog:
 
     def verify(self, n: int, gens: DotProductProofGens, transcript,
                a: list[int], cx: hostcurve.Point, cy: hostcurve.Point) -> None:
-        assert gens.n == n and len(a) == n
+        if gens.n != n:
+            raise InvalidInputLength(gens.n, n)
+        if len(a) != n:
+            raise InvalidInputLength(n, len(a))
 
         transcript.append_protocol_name(DotProductProofLog.PROTOCOL_NAME)
         transcript.append_point(b"Cx", cx)

@@ -20,6 +20,7 @@ from lasso_tpu.poly.dense import DensePolynomial, bound_var_bot_host
 from lasso_tpu.poly.hyrax import (PolyCommitment, PolyCommitmentGens,
                                   PolyEvalProof, commit_poly)
 from lasso_tpu.subtables.base import DeviceOps, SubtableStrategy
+from lasso_tpu.utils.errors import LassoError
 from lasso_tpu.utils.tracing import instrument
 
 
@@ -137,7 +138,8 @@ class CombinedTableEvalProof:
         vals = evals
         for c in reversed(challenges):
             vals = bound_var_bot_host(vals, c)
-        assert len(vals) == 1
+        if len(vals) != 1:
+            raise LassoError("combined-eval fold did not reduce to one claim")
         joint_eval = vals[0]
         r_joint = challenges + list(r)
         transcript.append_scalar(b"joint_claim_eval", joint_eval)

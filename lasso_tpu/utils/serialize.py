@@ -15,6 +15,7 @@ import io
 
 from lasso_tpu.curve.host import Point
 from lasso_tpu.field.host import Fr
+from lasso_tpu.utils.errors import DecompressionError
 
 
 class Writer:
@@ -51,11 +52,14 @@ class Reader:
     def _take(self, n: int) -> bytes:
         b = self.buf.read(n)
         if len(b) != n:
-            raise ValueError("truncated proof bytes")
+            raise DecompressionError("truncated proof bytes")
         return b
 
     def scalar(self) -> int:
-        return Fr.from_bytes(self._take(32))
+        try:
+            return Fr.from_bytes(self._take(32))
+        except ValueError as e:  # non-canonical scalar encoding
+            raise DecompressionError(str(e)) from e
 
     def point(self) -> Point:
         return Point.from_compressed_bytes(self._take(32))
@@ -238,7 +242,7 @@ def deserialize_proof(data: bytes, strategy):
         proof_ops=_r_poly_eval(r), proof_mem=_r_poly_eval(r),
         proof_derefs=_r_combined_eval(r))
     if not r.done():
-        raise ValueError("trailing bytes after proof")
+        raise DecompressionError("trailing bytes after proof")
     return SparsePolynomialEvaluationProof(
         comm_derefs=comm_derefs, primary_sumcheck=primary,
         memory_check=MemoryCheckingProof(prod_layer, hash_layer),
@@ -264,5 +268,5 @@ def deserialize_commitment(data: bytes):
         log_m_variate_polys_commitment=_r_poly_commitment(r),
         s=r.u64(), log_m=r.u64(), m=r.u64())
     if not r.done():
-        raise ValueError("trailing bytes after commitment")
+        raise DecompressionError("trailing bytes after commitment")
     return out
