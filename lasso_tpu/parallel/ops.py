@@ -171,7 +171,8 @@ def sharded_msm_partials(mesh: Mesh, points, scalars_int, c: int,
 
 
 def sharded_msm(mesh: Mesh, points, scalars_mont, modulus_bits: int = 253):
-    """Full sharded MSM: [n,4,W] points + [n,W] Montgomery scalars -> [4,W]."""
+    """Full sharded MSM: [4,W,n] limb-major points + [n,W] Montgomery
+    scalars -> [4,W,1] (the limb-major convention used everywhere else)."""
     from lasso_tpu.curve.jcurve import tree_sum
     from lasso_tpu.ops.msm import max_scalar_bits, window_size
 
@@ -198,3 +199,289 @@ def sharded_grand_product_layer(mesh: Mesh, inputs):
         return JFr.mul(x[:, :half], x[:, half:])
 
     return _go(_put(mesh, inputs, P(None, AXIS)))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end prover primitives (round 2): everything below serves
+# parallel/eprover.prove_sharded -- the full Lasso prove under the mesh.
+#
+# Layout invariant: D | s, D | M, D | r_size for every Hyrax matrix.  Under
+# cyclic sharding the merged multilinears keep a crucial property: for
+# n = K * s (D | s), global element (row, col) of the Hyrax view lives on
+# device (col mod D), so L-folds are fully device-local along rows and the
+# row-MSM commit needs only an all_gather of per-device partial points.
+# ---------------------------------------------------------------------------
+
+
+def cyclic_permute_axis(x, d: int, axis: int):
+    """Cyclic layout along an arbitrary axis."""
+    x = jnp.moveaxis(x, axis, 0)
+    return jnp.moveaxis(cyclic_permute(x, d), 0, axis)
+
+
+def cyclic_unpermute_axis(x, d: int, axis: int):
+    x = jnp.moveaxis(x, axis, 0)
+    return jnp.moveaxis(cyclic_unpermute(x, d), 0, axis)
+
+
+def gather_natural(x_sharded, d: int, axis: int = 0):
+    """Materialize a cyclic-sharded array in NATURAL order on the default
+    device (the tiny-epilogue hand-off: tail sumcheck rounds, bullet
+    reductions and top product trees run replicated)."""
+    import numpy as np
+    arr = jnp.asarray(np.asarray(x_sharded))
+    return cyclic_unpermute_axis(arr, d, axis)
+
+
+def sharded_split_halves(mesh: Mesh, x):
+    """[I, n, W] cyclic-sharded -> (left, right) halves, both cyclic-sharded
+    over n/2 (pairing k, k + n/2 is local under the cyclic layout)."""
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False, in_specs=P(None, AXIS),
+        out_specs=(P(None, AXIS), P(None, AXIS)))
+    def _go(z):
+        half = z.shape[1] // 2
+        return z[:, :half], z[:, half:]
+
+    return _go(_put(mesh, x, P(None, AXIS)))
+
+
+def sharded_gather_lookups(mesh: Mesh, tables, nz, sub_of, dim_of):
+    """E_i = T_{sub(i)}[nz_{dim(i)}] with the s-axis cyclic-sharded.
+
+    tables: [NS, M, W] replicated; nz: [C, s] int32 cyclic-sharded.
+    Gathers are elementwise in the s index, so the cyclic layout passes
+    straight through.  Returns [alpha, s, W] cyclic-sharded."""
+    sub_of = tuple(sub_of)
+    dim_of = tuple(dim_of)
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(None, None, None), P(None, AXIS)), out_specs=P(None, AXIS))
+    def _go(tbl, idx):
+        outs = [jnp.take(tbl[si], idx[di], axis=0)
+                for si, di in zip(sub_of, dim_of)]
+        return jnp.stack(outs)
+
+    return _go(_put(mesh, tables, P(None, None, None)),
+               _put(mesh, nz, P(None, AXIS)))
+
+
+def sharded_comb_sum(mesh: Mesh, zs, comb):
+    """sum_k comb(zs)[k] over the cyclic-sharded hypercube axis.
+
+    zs: [alpha, n, W] sharded. Returns [W] replicated (exact canonical --
+    field addition is associative, so psum order is immaterial)."""
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False, in_specs=P(None, AXIS), out_specs=P())
+    def _go(z):
+        return JFr.finish_sum(_psum_wide(JFr.sum_columns(comb(z)), AXIS))
+
+    return _go(_put(mesh, zs, P(None, AXIS)))
+
+
+def sharded_weighted_evals(mesh: Mesh, stack, weights):
+    """Evaluate K stacked MLEs at a point given its (sharded) eq table.
+
+    stack: [K, n, W] cyclic-sharded; weights: [n, W] same layout.
+    Returns [K, W] replicated."""
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False, in_specs=(P(None, AXIS), P(AXIS)),
+        out_specs=P())
+    def _go(st, w):
+        prods = JFr.mul(st, w[None])
+        cols = JFr.sum_columns(jnp.moveaxis(prods, 1, 0))  # [K, wide]
+        return JFr.finish_sum(_psum_wide(cols, AXIS))
+
+    return _go(_put(mesh, stack, P(None, AXIS)), _put(mesh, weights, P(AXIS)))
+
+
+def merged_cyclic(mesh: Mesh, stack, pad_to: int):
+    """Merge K cyclic-sharded length-s polynomials into the cyclic-sharded
+    merged polynomial of length pad_to (zero-padded like DensePolynomial.merge).
+
+    Works because D | s: merged index k = i*s + t has k mod D = t mod D, so
+    device d's merged shard is just its per-polynomial shards concatenated in
+    order -- no communication.  stack: [K, s, W] -> [pad_to, W] sharded."""
+    k_cnt, s = stack.shape[0], stack.shape[1]
+    d = mesh.devices.size
+    assert s % d == 0 and (pad_to - k_cnt * s) % d == 0
+    pad_local = (pad_to - k_cnt * s) // d
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False, in_specs=P(None, AXIS), out_specs=P(AXIS))
+    def _go(st):
+        flat = st.reshape(-1, W)
+        if pad_local:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad_local, W), jnp.uint32)], axis=0)
+        return flat
+
+    return _go(_put(mesh, stack, P(None, AXIS)))
+
+
+def sharded_bound_fold(mesh: Mesh, z, l_mont, l_size: int, r_size: int):
+    """Hyrax L-fold on a merged-cyclic polynomial: LZ = L @ mat(Z).
+
+    z: [l_size*r_size, W] cyclic-sharded; l_mont: [l_size, W] replicated.
+    Global element (row, col) lives on device (col mod D) at local
+    (row, col div D), so the row reduction is fully local.  Returns
+    [r_size, W] cyclic-sharded over columns."""
+    d = mesh.devices.size
+    assert r_size % d == 0
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False, in_specs=(P(AXIS), P(None, None)),
+        out_specs=P(AXIS))
+    def _go(zl, lv):
+        zmat = zl.reshape(l_size, r_size // d, W)
+        return JFr.sum(JFr.mul(zmat, lv[:, None, :]))
+
+    return _go(_put(mesh, z, P(AXIS)), _put(mesh, l_mont, P(None, None)))
+
+
+def sharded_commit_rows(mesh: Mesh, z, bases_cyc, l_size: int, r_size: int,
+                        c: int, num_windows: int):
+    """Hyrax row commitments on a merged-cyclic polynomial.
+
+    z: [l_size*r_size, W] cyclic-sharded (Montgomery); bases_cyc: [4, W,
+    r_size] generator points cyclically permuted along the point axis and
+    block-sharded, so device d holds G[col] for its columns col = c*D + d.
+    Each device runs one batched-row Pippenger over its column subset;
+    per-device partial points are all_gathered and tree-combined by the
+    caller (curve addition is associative -> canonical points identical to
+    the single-chip commit).  Returns [D, l_size, 4, W] replicated."""
+    from lasso_tpu.ops.msm import _msm_kernel
+    d = mesh.devices.size
+    assert r_size % d == 0
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(AXIS), P(None, None, AXIS)), out_specs=P())
+    def _go(zl, pts):
+        zmat = zl.reshape(l_size, r_size // d, W)
+        ints = JFr.to_int_limbs(zmat.reshape(-1, W)).reshape(
+            l_size, r_size // d, W)
+        local = jax.vmap(_msm_kernel, in_axes=(None, 0, None, None))(
+            pts, ints, c, num_windows)  # [l_size, 4, W, 1]
+        return jax.lax.all_gather(local[..., 0], AXIS)  # [D, l_size, 4, W]
+
+    return _go(_put(mesh, z, P(AXIS)),
+               _put(mesh, bases_cyc, P(None, None, AXIS)))
+
+
+def _fp(a, v, t, g, g2, tau):
+    """h(a, v, t) = t*gamma^2 + v*gamma + a - tau (matches
+    lasso/memory_checking._fingerprint)."""
+    return JFr.sub(JFr.add(JFr.add(JFr.mul(t, g2), JFr.mul(v, g)), a), tau)
+
+
+def sharded_rw_fingerprints(mesh: Mesh, dim, vops, read, gamma, gamma_sq, tau):
+    """Read/write fingerprints over the cyclic-sharded s-cube, interleaved
+    [read_0, write_0, read_1, ...] like the reference's batching order.
+
+    dim, vops, read: [alpha, s, W] sharded.  Returns [2*alpha, s, W] sharded."""
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS), P(), P(), P()),
+        out_specs=P(None, AXIS))
+    def _go(dm, vo, rd, g, g2, tu):
+        alpha, sl = dm.shape[0], dm.shape[1]
+        fp_r = _fp(dm, vo, rd, g, g2, tu)
+        one = JFr.ones((alpha, sl))
+        fp_w = _fp(dm, vo, JFr.add(rd, one), g, g2, tu)
+        return jnp.stack([fp_r, fp_w], axis=1).reshape(2 * alpha, sl, W)
+
+    return _go(_put(mesh, dim, P(None, AXIS)), _put(mesh, vops, P(None, AXIS)),
+               _put(mesh, read, P(None, AXIS)), _put(mesh, gamma, P()),
+               _put(mesh, gamma_sq, P()), _put(mesh, tau, P()))
+
+
+def sharded_if_fingerprints(mesh: Mesh, addr, vmem, final, gamma, gamma_sq, tau):
+    """Init/final fingerprints over the cyclic-sharded M-cube, interleaved
+    [init_0, final_0, ...].  addr: [M, W]; vmem, final: [alpha, M, W]."""
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(AXIS), P(None, AXIS), P(None, AXIS), P(), P(), P()),
+        out_specs=P(None, AXIS))
+    def _go(ad, vm, fn, g, g2, tu):
+        alpha, ml = vm.shape[0], vm.shape[1]
+        zero = jnp.zeros((alpha, ml, W), jnp.uint32)
+        fp_i = _fp(ad[None], vm, zero, g, g2, tu)
+        fp_f = _fp(ad[None], vm, fn, g, g2, tu)
+        return jnp.stack([fp_i, fp_f], axis=1).reshape(2 * alpha, ml, W)
+
+    return _go(_put(mesh, addr, P(AXIS)), _put(mesh, vmem, P(None, AXIS)),
+               _put(mesh, final, P(None, AXIS)), _put(mesh, gamma, P()),
+               _put(mesh, gamma_sq, P()), _put(mesh, tau, P()))
+
+
+def sharded_scalar_maxbits(mesh: Mesh, z) -> int:
+    """Exact max bit-width across a cyclic-sharded Montgomery vector
+    (the MSM small-scalar window scan, ops/msm.max_scalar_bits)."""
+
+    @functools.partial(shard_map, mesh=mesh, check_vma=False, in_specs=P(AXIS),
+                       out_specs=P())
+    def _go(zl):
+        ints = JFr.to_int_limbs(zl)
+        return jax.lax.pmax(jnp.max(ints, axis=0), AXIS)
+
+    import numpy as np
+    col_max = np.asarray(_go(_put(mesh, z, P(AXIS))))
+    val = 0
+    for i, limb in enumerate(col_max):
+        if limb:
+            val = max(val, 16 * i + int(limb).bit_length())
+    return max(val, 1)
+
+
+def sharded_append_row(mesh: Mesh, stack, row):
+    """[K, n, W] sharded stack + [n, W] sharded row -> [K+1, n, W] sharded
+    (the primary-sumcheck stack append of the eq polynomial)."""
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False, in_specs=(P(None, AXIS), P(AXIS)),
+        out_specs=P(None, AXIS))
+    def _go(st, rw):
+        return jnp.concatenate([st, rw[None]], axis=0)
+
+    return _go(_put(mesh, stack, P(None, AXIS)), _put(mesh, row, P(AXIS)))
+
+
+def sharded_cubic_round_evals(mesh: Mesh, a, b, c):
+    """One batched-cubic sumcheck round over the cyclic-sharded cube.
+
+    a, b: [I, n, W] sharded; c: [n, W] shared eq poly, same layout.
+    Returns [3, I, W] replicated sums at t in {0, 2, 3}."""
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(None, AXIS), P(None, AXIS), P(AXIS)), out_specs=P())
+    def _go(al, bl, cl):
+        half = al.shape[1] // 2
+        a_lo, a_hi = al[:, :half], al[:, half:]
+        b_lo, b_hi = bl[:, :half], bl[:, half:]
+        c_lo, c_hi = cl[:half], cl[half:]
+
+        def prod3(x, y, z):
+            return JFr.mul(JFr.mul(x, y), z)
+
+        def cols(v):  # [I, half, W] -> [I, wide]
+            return JFr.sum_columns(jnp.moveaxis(v, 1, 0))
+
+        out = [cols(prod3(a_lo, b_lo, c_lo[None]))]
+        a_d, b_d, c_d = (JFr.sub(a_hi, a_lo), JFr.sub(b_hi, b_lo),
+                         JFr.sub(c_hi, c_lo))
+        a2, b2, c2 = JFr.add(a_hi, a_d), JFr.add(b_hi, b_d), JFr.add(c_hi, c_d)
+        out.append(cols(prod3(a2, b2, c2[None])))
+        a3, b3, c3 = JFr.add(a2, a_d), JFr.add(b2, b_d), JFr.add(c2, c_d)
+        out.append(cols(prod3(a3, b3, c3[None])))
+        return JFr.finish_sum(_psum_wide(jnp.stack(out), AXIS))
+
+    return _go(_put(mesh, a, P(None, AXIS)), _put(mesh, b, P(None, AXIS)),
+               _put(mesh, c, P(AXIS)))

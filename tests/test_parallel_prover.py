@@ -52,3 +52,46 @@ def test_sharded_sumcheck_proof_identical(mesh):
     claim %= Fr.p
     e, r_v = proof_sh.verify(claim, num_rounds, 3, ProofTranscript(b"dist"))
     assert r_v == r_ref
+
+
+def test_sharded_e2e_proof_bytes_identical(mesh):
+    """Full sharded prove (commit + primary sumcheck + openings + memory
+    checking) on the 8-device CPU mesh: byte-identical proof AND commitment
+    vs the single-chip prover, and accepted by the standard verifier."""
+    import lasso_tpu.subtables.bitwise  # noqa: F401 (register strategies)
+    from lasso_tpu.lasso.densified import DensifiedRepresentation
+    from lasso_tpu.lasso.surge import (SparsePolyCommitmentGens,
+                                       SparsePolynomialEvaluationProof)
+    from lasso_tpu.parallel.eprover import ShardedDensified
+    from lasso_tpu.subtables.base import get_strategy
+    from lasso_tpu.transcript.random_tape import RandomTape
+    from lasso_tpu.utils.fixtures import gen_indices, gen_random_point
+    from lasso_tpu.utils.serialize import serialize_commitment, serialize_proof
+
+    c, m, s = 4, 16, 16
+    log_m, log_s = 4, 4
+    strategy = get_strategy("and", c, m)
+    nz = gen_indices(s, m, c)
+    r = gen_random_point(log_s)
+
+    dense = DensifiedRepresentation(nz, log_m, c)
+    gens = SparsePolyCommitmentGens.new(
+        b"gens_sparse_poly", c, s, strategy.num_memories, log_m)
+
+    commitment_ref = dense.commit(gens)
+    proof_ref = SparsePolynomialEvaluationProof.prove(
+        dense, r, gens, strategy, ProofTranscript(b"example"),
+        RandomTape(b"proof"))
+
+    sd = ShardedDensified(mesh, dense)
+    commitment_sh = sd.commit(gens)
+    proof_sh = SparsePolynomialEvaluationProof.prove(
+        sd, r, gens, strategy, ProofTranscript(b"example"),
+        RandomTape(b"proof"), mesh=mesh)
+
+    assert serialize_commitment(commitment_sh) == \
+        serialize_commitment(commitment_ref)
+    assert serialize_proof(proof_sh) == serialize_proof(proof_ref)
+
+    # the standard (single-chip) verifier accepts the sharded proof
+    proof_sh.verify(commitment_sh, r, gens, ProofTranscript(b"example"))
