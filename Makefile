@@ -1,4 +1,14 @@
-.PHONY: native test bench clean
+.PHONY: native test bench ci clean
+
+# Fast-CPU profile (the reference's CI analog, rust.yml:18-66): forces the
+# CPU backend (tests/conftest.py honors LASSO_TPU_PLATFORM before backend
+# init), shrinks the masked-sumcheck buffers so XLA:CPU compiles stay
+# tractable on this 1-core host, and runs a syntax gate first.  Runnable
+# entirely off-TPU.
+ci:
+	python -m compileall -q lasso_tpu tests bench.py __graft_entry__.py
+	LASSO_TPU_PLATFORM=cpu LASSO_TPU_SUMCHECK_FIX=64 \
+		python -m pytest tests/ -x -q
 
 native: lasso_tpu/native/_libhostcrypto.so
 

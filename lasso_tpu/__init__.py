@@ -12,6 +12,12 @@ import jax
 # (shape, config) and are reused across processes, proofs and benches.
 _cache_dir = os.environ.get(
     "LASSO_TPU_XLA_CACHE", os.path.expanduser("~/.cache/lasso_tpu_xla"))
+# Separate namespace per forced platform: XLA:CPU AOT entries embed host
+# machine features and cross-load noisily (and riskily) against entries
+# written under the default (TPU-tunnel) process configuration.
+_plat = os.environ.get("LASSO_TPU_PLATFORM")
+if _plat:
+    _cache_dir = os.path.join(_cache_dir, _plat)
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     # Cache EVERYTHING, including sub-second compiles: under the tunneled

@@ -9,6 +9,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # the config knob below must be set before the CPU client initializes.
 import jax  # noqa: E402
 
+# Fast-CPU profile: LASSO_TPU_PLATFORM=cpu forces the whole suite onto the
+# host CPU backend (the axon plugin ignores JAX_PLATFORMS, so this must be a
+# jax.config update before backend init).  Combine with a small
+# LASSO_TPU_SUMCHECK_FIX to keep XLA:CPU compiles tractable -- see `make ci`.
+_platform = os.environ.get("LASSO_TPU_PLATFORM")
+if _platform:
+    try:
+        jax.config.update("jax_platforms", _platform)
+    except Exception:
+        pass
+
 try:
     jax.config.update("jax_num_cpu_devices", 8)
 except Exception:
