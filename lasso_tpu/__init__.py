@@ -14,10 +14,25 @@ _cache_dir = os.environ.get(
     "LASSO_TPU_XLA_CACHE", os.path.expanduser("~/.cache/lasso_tpu_xla"))
 # Separate namespace per forced platform: XLA:CPU AOT entries embed host
 # machine features and cross-load noisily (and riskily) against entries
-# written under the default (TPU-tunnel) process configuration.
+# written under the default (TPU-tunnel) process configuration.  The CPU
+# namespace is further keyed by the host's CPU feature set: this VM can be
+# rescheduled onto different hardware between sessions, and stale AOT
+# entries from another machine SIGILL/segfault on load (observed: repeated
+# hard crashes in compilation-cache read/write during `make ci`).
 _plat = os.environ.get("LASSO_TPU_PLATFORM")
 if _plat:
     _cache_dir = os.path.join(_cache_dir, _plat)
+    if _plat == "cpu":
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo") as _f:
+                _flags = [ln for ln in _f if ln.startswith("flags")][:1]
+            _tag = hashlib.sha256(
+                "".join(_flags).encode()).hexdigest()[:12]
+        except OSError:
+            _tag = "unknown"
+        _cache_dir = os.path.join(_cache_dir, _tag)
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     # Cache EVERYTHING, including sub-second compiles: under the tunneled
