@@ -270,11 +270,14 @@ def _device_sumcheck_supported(transcript) -> bool:
     from lasso_tpu.transcript.proof_transcript import (ProofTranscript,
                                                        TestTranscript)
 
-    if os.environ.get("LASSO_TPU_DEVICE_TRANSCRIPT", "1") in ("0", "off"):
+    flag = os.environ.get("LASSO_TPU_DEVICE_TRANSCRIPT", "1")
+    if flag in ("0", "off"):
         return False
     if not isinstance(transcript, ProofTranscript) or \
             isinstance(transcript, TestTranscript):
         return False
+    if flag == "force":  # parity testing of the device paths off-TPU
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:
@@ -284,34 +287,37 @@ def _device_sumcheck_supported(transcript) -> bool:
 MAX_DEVICE_ROUNDS = 32
 
 
-@functools.partial(jax.jit, static_argnames=("comb", "degree", "strobe_meta"))
+@functools.partial(jax.jit, static_argnames=("comb", "degree", "entry_meta"))
 def _device_rounds_arbitrary(state0, zs0, m0, comb, degree: int,
-                             num_rounds, strobe_meta):
+                             num_rounds, entry_meta):
     """Masked sumcheck rounds with the transcript on device.
 
     state0: [200] strobe bytes; zs0: [alpha, FIX, W]; m0: active length;
     num_rounds: TRACED trip count (accumulators are fixed MAX_DEVICE_ROUNDS
     so one executable serves every layer/proof size).
-    strobe_meta: (pos, pos_begin, cur_flags) at entry (static, and by
-    periodicity also at exit of every round).
+    entry_meta: (pos, pos_begin, cur_flags) at entry -- ANY static position
+    (the bullet-core peel pattern): round 0 is peeled with the call-site
+    position and must exit at the canonical post-challenge position, where
+    all remaining rounds loop.  This lets the whole sumcheck run as ONE
+    dispatch even when the transcript is not parked post-PRF on entry.
     Returns (state, zs, coeffs_acc [MAX, degree+1, W], r_acc [MAX, W]).
     """
+    from lasso_tpu.subprotocols.grand_product import _post_challenge_meta
     from lasso_tpu.transcript.device_strobe import DeviceStrobe, DeviceTranscript
 
-    pos, pos_begin, cur_flags = strobe_meta
+    meta = _post_challenge_meta()
     coeffs_acc0 = jnp.zeros((MAX_DEVICE_ROUNDS, degree + 1, W), jnp.uint32)
     r_acc0 = jnp.zeros((MAX_DEVICE_ROUNDS, W), jnp.uint32)
 
-    def body(i, carry):
-        state, zs, m, coeffs_acc, r_acc = carry
+    def round_step(mpos, state, zs, m, coeffs_acc, r_acc, i):
         evals = _round_evals_masked(zs, m, comb, degree)
         coeffs = _interp_coeffs_device(evals, degree)
 
-        dt = DeviceTranscript(DeviceStrobe(state, pos, pos_begin, cur_flags))
+        dt = DeviceTranscript(DeviceStrobe(state, *mpos))
         _append_round_poly_device(dt, coeffs, degree)
         r = dt.challenge_scalar(b"challenge_nextround")
-        # trajectory periodicity: static bookkeeping must return to entry
-        assert (dt.s.pos, dt.s.pos_begin, dt.s.cur_flags) == strobe_meta, \
+        # every round must exit at the canonical post-challenge position
+        assert (dt.s.pos, dt.s.pos_begin, dt.s.cur_flags) == meta, \
             "strobe trajectory not periodic; device loop invalid"
 
         zs = _bind_top_masked(zs, m, r)
@@ -320,8 +326,16 @@ def _device_rounds_arbitrary(state0, zs0, m0, comb, degree: int,
         r_acc = jax.lax.dynamic_update_slice(r_acc, r[None], (i, 0))
         return dt.state_tuple(), zs, m // 2, coeffs_acc, r_acc
 
+    # peel round 0 with the call-site entry position
+    state, zs, m, coeffs_acc, r_acc = round_step(
+        entry_meta, state0, zs0, m0, coeffs_acc0, r_acc0, jnp.int32(0))
+
+    def body(i, carry):
+        state, zs, m, coeffs_acc, r_acc = carry
+        return round_step(meta, state, zs, m, coeffs_acc, r_acc, i)
+
     state, zs, _, coeffs_acc, r_acc = jax.lax.fori_loop(
-        0, num_rounds, body, (state0, zs0, m0, coeffs_acc0, r_acc0))
+        1, num_rounds, body, (state, zs, m, coeffs_acc, r_acc))
     return state, zs, coeffs_acc, r_acc
 
 
@@ -344,10 +358,11 @@ def prove_arbitrary(polys_stack, comb, degree: int, num_rounds: int, transcript)
 
     round_idx = 0
     while round_idx < num_rounds:
-        # device fast path: after at least one host round (which parks the
-        # strobe at the canonical post-PRF position), all remaining masked
-        # rounds run in one jitted fori_loop with the transcript on device
-        if use_device and masked and round_idx >= 1:
+        # device fast path: once the instance is masked (n <= SUMCHECK_FIX),
+        # ALL remaining rounds run in one jitted fori_loop with the
+        # transcript on device -- round 0 included (the peel inside
+        # _device_rounds_arbitrary handles the call-site strobe position)
+        if use_device and masked:
             remaining = num_rounds - round_idx
             from lasso_tpu.transcript.device_strobe import (DeviceStrobe,
                                                             DeviceTranscript)
@@ -362,7 +377,11 @@ def prove_arbitrary(polys_stack, comb, degree: int, num_rounds: int, transcript)
             d1 = degree + 1
             coeffs_host = flat[: remaining * d1]
             r_host = flat[remaining * d1:]
-            out = DeviceTranscript(DeviceStrobe(None, *meta))
+            # the loop exits at the canonical post-challenge position (NOT
+            # the entry position -- round 0 is peeled from any call site)
+            from lasso_tpu.subprotocols.grand_product import \
+                _post_challenge_meta
+            out = DeviceTranscript(DeviceStrobe(None, *_post_challenge_meta()))
             out.restore_to_host(transcript, np.asarray(state))
             for k in range(remaining):
                 poly = UniPoly(coeffs_host[k * d1: (k + 1) * d1])
