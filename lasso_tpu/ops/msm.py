@@ -188,6 +188,63 @@ def _msm_kernel(points, scalars, c: int, num_windows: int):
     return total
 
 
+@functools.partial(jax.jit, static_argnames=("c", "num_windows"))
+def predoubled_windows(points, c: int, num_windows: int):
+    """[4, W, n] -> [4, W, num_windows*n]: slice w holds 2^(c*w) * P_j.
+
+    One-time per fixed basis (cache the result): folds every window's
+    2^(c*w) weight INTO the basis so `_msm_kernel_flat` needs no Horner
+    combine at all -- the point is that Horner's ~max_bits sequential
+    doublings dominate small-n full-width MSMs on a latency-bound device,
+    and for a FIXED basis those doublings can be hoisted out entirely.
+    """
+    n = points.shape[-1]
+    acc0 = jnp.zeros(points.shape[:-1] + (num_windows * n,), points.dtype)
+
+    def body(wd, carry):
+        acc, cur = carry
+        acc = jax.lax.dynamic_update_slice(acc, cur, (0, 0, wd * n))
+        cur = jax.lax.fori_loop(0, c, lambda _, p: pdbl(p), cur)
+        return acc, cur
+
+    acc, _ = jax.lax.fori_loop(0, num_windows, body, (acc0, points))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("c", "num_windows"))
+def _msm_kernel_flat(pd_points, scalars, c: int, num_windows: int):
+    """MSM over PRE-DOUBLED window bases (see predoubled_windows).
+
+    pd_points [4, W, num_windows*n]; scalars [n, W] canonical integer limbs.
+    Returns [4, W, 1].
+
+    All windows' (digit, pre-scaled point) pairs form ONE flat bucket
+    problem: sort the num_windows*n pairs by digit, segmented-scan the
+    equal-digit runs, weighted-sum 2^c buckets -- ~log2(kn) + 2*c serial
+    curve ops total versus the ~max_bits Horner doublings of _msm_kernel.
+    Built for the latency-bound small-n full-width MSMs inside the fused
+    opening-proof program (subprotocols/bullet._device_dppl)."""
+    kn = pd_points.shape[-1]
+    n = scalars.shape[0]
+    assert kn == num_windows * n
+    num_buckets = (1 << c) - 1
+
+    bucket_ids = _extract_digits(scalars, c, num_windows).reshape(-1)  # [k*n]
+    order = jnp.argsort(bucket_ids)
+    sorted_ids = jnp.take(bucket_ids, order)
+    pts_pm = pd_points.reshape(4 * W, kn).T  # [k*n, 64] point-major rows
+    sorted_pts = jnp.transpose(jnp.take(pts_pm, order, axis=0)).reshape(
+        4, W, kn)
+    buckets = _segmented_sum_sorted(
+        sorted_pts, sorted_ids, num_buckets)[..., :num_buckets]
+    return _bucket_weighted_sum(buckets)
+
+
+_msm_kernel_flat_batch = jax.jit(
+    jax.vmap(_msm_kernel_flat, in_axes=(None, 0, None, None)),
+    static_argnames=("c", "num_windows"))
+
+
 def max_scalar_bits(scalar_int_limbs) -> int:
     """Exact max bit-width across scalars (one tiny device->host pull).
 

@@ -117,9 +117,17 @@ class PolyEvalProof:
         l_ints = eq_evals_host(r[:left])
         r_ints = eq_evals_host(r[left:])
 
-        from lasso_tpu.curve.jcurve import from_host_points
-        c_dev = from_host_points(comm.C)
-        c_lz = to_host_point(msm_device(c_dev, JFr.encode_ints(l_ints)))
+        from lasso_tpu.ops.msm import MSM_HOST_MAX
+        if len(comm.C) <= MSM_HOST_MAX:
+            # comm.C are host points already; the verifier's MSMs are tiny
+            # and latency-bound -- routing them through the device costs two
+            # tunnel transfers for arithmetic the native host Pippenger does
+            # in microseconds
+            c_lz = hostcurve.msm_host(comm.C, l_ints)
+        else:
+            from lasso_tpu.curve.jcurve import from_host_points
+            c_dev = from_host_points(comm.C)
+            c_lz = to_host_point(msm_device(c_dev, JFr.encode_ints(l_ints)))
 
         self.proof.verify(len(r_ints), gens.gens, transcript, r_ints, c_lz, c_zr)
 

@@ -57,7 +57,9 @@ def _dot(a, b):
 
 
 # ---------------------------------------------------------------------------
-# Fully on-device bullet reduction.
+# Fully on-device DotProductProofLog: ONE jitted program runs the Cx
+# commitment MSM, every transcript absorb/challenge, all bullet-reduction
+# rounds, and the closing sigma protocol (delta, c, z1, z2).
 #
 # Every round's L/R commitments are MSMs over FOLDED bases g^(k); folding
 # points on device would cost a scalar-mul ladder per round.  Instead the
@@ -65,39 +67,77 @@ def _dot(a, b):
 # appears in g^(k) at position (j mod m) with weight w_j = prod over earlier
 # rounds of (u if the round's half-bit of j else u^-1), so
 #     L_k = MSM(G, s)  with  s_j = w_j * a_lo[(j mod m) - m/2]  (hi half)
-# over the FIXED original bases -- one Pippenger kernel per round, no point
-# folds at all.  L/R are ark-compressed on device (Fermat Z-inverse) and
-# absorbed by the on-device STROBE transcript, so the whole reduction is
-# ONE dispatch + two transfers regardless of round count.
+# over the FIXED original bases -- no point folds at all.
+#
+# Latency design (everything here is small-n and serial-depth bound):
+#   * every MSM runs over PRE-DOUBLED window bases (ops/msm._msm_kernel_flat)
+#     so there is no Horner window combine -- ~max_bits sequential doublings
+#     per MSM, the dominant cost, are hoisted into a one-time per-gens
+#     precompute;
+#   * each round's L and R are ONE vmapped 2-lane MSM (a second lane is free
+#     on a vector machine);
+#   * the closing delta = g_hat*d + h*r_delta is algebraically expanded to
+#     MSM(G ++ h, (d*w, r_delta)) over the same pre-doubled bases, replacing
+#     a g_hat MSM plus two 256-step scalar ladders.
+#
+# All proof outputs (Cx, L/R, delta as canonical affine coordinates; z1/z2
+# as canonical limbs) and the final strobe state leave the device in ONE
+# flat uint32 transfer, so a whole opening proof costs a single dispatch +
+# a single download regardless of round count.
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("num_rounds", "entry_meta"))
-def _device_bullet(state0, a0, b0, g_pts, qh_pts, blinds_l, blinds_r,
-                   num_rounds: int, entry_meta):
-    """a0, b0: [n, W] Montgomery (n = 2^num_rounds); g_pts: [4, W, n];
-    qh_pts: [4, W, 2] (q, h); blinds_l/r: [num_rounds, W] Montgomery.
+@functools.partial(jax.jit, static_argnames=("num_rounds", "c_w", "n_w",
+                                             "entry_meta"))
+def _device_dppl(state0, x0, b0, pd_bases, cy_bytes, beta_bytes,
+                 blind_x, blinds_l, blinds_r, d_mont, r_delta_mont,
+                 r_beta_mont, blind_gamma, num_rounds: int, c_w: int,
+                 n_w: int, entry_meta):
+    """x0 (secret vec), b0 (public vec): [n, W] Montgomery (n = 2^rounds);
+    pd_bases: [4, W, n_w*(n+2)] pre-doubled window bases of (G ++ q ++ h)
+    under window plan (c_w, n_w) (ops/msm.predoubled_windows);
+    cy_bytes/beta_bytes: [32] compressed host-known points;
+    blind_x/blind_gamma/d/r_delta/r_beta: [W] Montgomery tape scalars;
+    blinds_l/r: [num_rounds, W] Montgomery.
 
-    Returns (state, lr_acc [rounds, 2, 4, W] extended points,
-    u_acc [rounds, W], a_fin [W], b_fin [W], g_fin [4, W, 1])."""
-    from lasso_tpu.curve.jcurve import compress_points_device
-    from lasso_tpu.ops.msm import _msm_kernel, window_plan
+    Returns ONE flat uint32 vector:
+      state [200] ++ xa [(2*rounds+2), W] ++ ya [(2*rounds+2), W]
+      ++ z [2, W]
+    where the point order is [Cx, L_0..L_{k-1}, R_0..R_{k-1}, delta] as
+    canonical affine int limbs and z = (z1, z2) canonical int limbs.
+    """
+    from lasso_tpu.curve.jcurve import (affine_int_limbs_device,
+                                        compress_affine_bytes_device)
+    from lasso_tpu.ops.msm import _msm_kernel_flat, _msm_kernel_flat_batch
     from lasso_tpu.transcript.device_strobe import (DeviceStrobe,
                                                     DeviceTranscript)
     from lasso_tpu.subprotocols.grand_product import _post_challenge_meta
 
-    n = a0.shape[0]
+    n = x0.shape[0]
     assert n == 1 << num_rounds
-    bases = jnp.concatenate([g_pts, qh_pts], axis=-1)  # [4, W, n+2]
-    c_w, n_w = window_plan(n + 2, 253)
-    c_g, n_g = window_plan(max(n, 2), 253)
+    assert pd_bases.shape[-1] == n_w * (n + 2)
     idx = jnp.arange(n)
 
-    lr_acc0 = jnp.zeros((num_rounds, 2, 4, W), jnp.uint32)
-    u_acc0 = jnp.zeros((num_rounds, W), jnp.uint32)
-    w0 = JFr.ones(n)
+    # -- Cx = <x, G> + blind_x * h (the q slot gets a zero scalar) -----------
+    cx_scalars = jnp.concatenate(
+        [x0, jnp.zeros((1, W), jnp.uint32), blind_x[None]], axis=0)
+    cx_pt = _msm_kernel_flat(pd_bases, JFr.to_int_limbs(cx_scalars),
+                             c=c_w, num_windows=n_w)
+    cx_xa, cx_ya = affine_int_limbs_device(cx_pt)  # [1, W] each
+    cx_bytes = compress_affine_bytes_device(cx_xa, cx_ya)
 
-    def round_step(state, meta, a, b, w, k, lr_acc, u_acc):
+    dt = DeviceTranscript(DeviceStrobe(state0, *entry_meta))
+    dt.append_point_bytes(b"Cx", cx_bytes[0])
+    dt.append_point_bytes(b"Cy", cy_bytes)
+    dt.append_scalars(b"a", b0)
+
+    # -- bullet rounds -------------------------------------------------------
+    lx_acc0 = jnp.zeros((num_rounds, 2, W), jnp.uint32)  # (L, R) affine x
+    ly_acc0 = jnp.zeros((num_rounds, 2, W), jnp.uint32)
+    w0 = JFr.ones(n)
+    bf0 = blind_gamma  # running blind_fin accumulator [W]
+
+    def round_step(state, meta, a, b, w, bf, k, lx_acc, ly_acc):
         m = n >> k
         half = m >> 1
         mask_half = (idx < half)[:, None]
@@ -122,12 +162,12 @@ def _device_bullet(state0, a0, b0, g_pts, qh_pts, blinds_l, blinds_r,
             [s_l, c_l[None], blinds_l[k][None]], axis=0)
         full_r = jnp.concatenate(
             [s_r, c_r[None], blinds_r[k][None]], axis=0)
-        l_pt = _msm_kernel(bases, JFr.to_int_limbs(full_l),
-                           c=c_w, num_windows=n_w)
-        r_pt = _msm_kernel(bases, JFr.to_int_limbs(full_r),
-                           c=c_w, num_windows=n_w)
-        lr = jnp.concatenate([l_pt, r_pt], axis=-1)  # [4, W, 2]
-        cb = compress_points_device(lr)  # [2, 32]
+        lr_pts = _msm_kernel_flat_batch(
+            pd_bases, JFr.to_int_limbs(jnp.stack([full_l, full_r])),
+            c_w, n_w)  # [2, 4, W, 1]
+        lr = jnp.moveaxis(lr_pts[..., 0], 0, -1)  # [4, W, 2]
+        xa, ya = affine_int_limbs_device(lr)  # [2, W]
+        cb = compress_affine_bytes_device(xa, ya)  # [2, 32]
 
         dt = DeviceTranscript(DeviceStrobe(state, *meta))
         dt.append_point_bytes(b"L", cb[0])
@@ -139,29 +179,69 @@ def _device_bullet(state0, a0, b0, g_pts, qh_pts, blinds_l, blinds_r,
         a = JFr.add(JFr.mul(a, u[None]), JFr.mul(a_hi, u_inv[None]))
         b = JFr.add(JFr.mul(b, u_inv[None]), JFr.mul(b_hi, u[None]))
         w = JFr.mul(w, jnp.where(hi_bit[:, None], u[None], u_inv[None]))
+        # blind_fin += blind_l * u^2 + blind_r * u^-2
+        u2 = JFr.mul(u[None], u[None])[0]
+        ui2 = JFr.mul(u_inv[None], u_inv[None])[0]
+        bf = JFr.add(bf, JFr.add(
+            JFr.mul(blinds_l[k][None], u2[None])[0],
+            JFr.mul(blinds_r[k][None], ui2[None])[0]))
 
-        lr_ext = jnp.moveaxis(lr, -1, 0)[None]  # [1, 2, 4, W]
-        lr_acc = jax.lax.dynamic_update_slice(lr_acc, lr_ext, (k, 0, 0, 0))
-        u_acc = jax.lax.dynamic_update_slice(u_acc, u[None], (k, 0))
-        return dt.state_tuple(), out_meta, a, b, w, lr_acc, u_acc
+        lx_acc = jax.lax.dynamic_update_slice(lx_acc, xa[None], (k, 0, 0))
+        ly_acc = jax.lax.dynamic_update_slice(ly_acc, ya[None], (k, 0, 0))
+        return dt.state_tuple(), out_meta, a, b, w, bf, lx_acc, ly_acc
 
     meta = _post_challenge_meta()
-    state, out_meta, a, b, w, lr_acc, u_acc = round_step(
-        state0, entry_meta, a0, b0, w0, jnp.int32(0), lr_acc0, u_acc0)
+    mid_meta = (dt.s.pos, dt.s.pos_begin, dt.s.cur_flags)
+    state, out_meta, a, b, w, bf, lx_acc, ly_acc = round_step(
+        dt.state_tuple(), mid_meta, x0, b0, w0, bf0, jnp.int32(0),
+        lx_acc0, ly_acc0)
     assert out_meta == meta, "bullet peel exit not at canonical position"
 
     def body(k, carry):
-        state, a, b, w, lr_acc, u_acc = carry
-        state, om, a, b, w, lr_acc, u_acc = round_step(
-            state, meta, a, b, w, k, lr_acc, u_acc)
+        state, a, b, w, bf, lx_acc, ly_acc = carry
+        state, om, a, b, w, bf, lx_acc, ly_acc = round_step(
+            state, meta, a, b, w, bf, k, lx_acc, ly_acc)
         assert om == meta, "bullet round trajectory not periodic"
-        return state, a, b, w, lr_acc, u_acc
+        return state, a, b, w, bf, lx_acc, ly_acc
 
-    state, a, b, w, lr_acc, u_acc = jax.lax.fori_loop(
-        1, num_rounds, body, (state, a, b, w, lr_acc, u_acc))
+    state, a, b, w, bf, lx_acc, ly_acc = jax.lax.fori_loop(
+        1, num_rounds, body, (state, a, b, w, bf, lx_acc, ly_acc))
 
-    g_fin = _msm_kernel(g_pts, JFr.to_int_limbs(w), c=c_g, num_windows=n_g)
-    return state, lr_acc, u_acc, a[0], b[0], g_fin
+    # -- closing sigma protocol ----------------------------------------------
+    # delta = g_hat*d + h*r_delta with g_hat = MSM(G, w), expanded to ONE
+    # fixed-base MSM over (G ++ q ++ h) with scalars (d*w, 0, r_delta)
+    delta_scalars = jnp.concatenate(
+        [JFr.mul(w, d_mont[None]), jnp.zeros((1, W), jnp.uint32),
+         r_delta_mont[None]], axis=0)
+    delta_pt = _msm_kernel_flat(pd_bases, JFr.to_int_limbs(delta_scalars),
+                                c=c_w, num_windows=n_w)
+    d_xa, d_ya = affine_int_limbs_device(delta_pt)
+    d_bytes = compress_affine_bytes_device(d_xa, d_ya)
+
+    dt2 = DeviceTranscript(DeviceStrobe(state, *meta))
+    dt2.append_point_bytes(b"delta", d_bytes[0])
+    dt2.append_point_bytes(b"beta", beta_bytes)
+    c_ch = dt2.challenge_scalar(b"c")
+
+    x_hat, a_hat = a[0], b[0]
+    y_hat = JFr.mul(x_hat[None], a_hat[None])[0]
+    z1 = JFr.add(d_mont, JFr.mul(c_ch[None], y_hat[None])[0])
+    z2 = JFr.add(
+        JFr.mul(a_hat[None],
+                JFr.add(JFr.mul(c_ch[None], bf[None])[0], r_beta_mont)[None]
+                )[0],
+        r_delta_mont)
+
+    # [Cx, L_0..L_{k-1}, R_0..R_{k-1}, delta]
+    xa_all = jnp.concatenate(
+        [cx_xa, lx_acc[:, 0], lx_acc[:, 1], d_xa], axis=0)
+    ya_all = jnp.concatenate(
+        [cx_ya, ly_acc[:, 0], ly_acc[:, 1], d_ya], axis=0)
+    z_all = JFr.to_int_limbs(jnp.stack([z1, z2]))
+
+    return jnp.concatenate([
+        dt2.state_tuple(), xa_all.reshape(-1), ya_all.reshape(-1),
+        z_all.reshape(-1)])
 
 
 @dataclass
@@ -170,54 +250,13 @@ class BulletReductionProof:
     R_vec: list[hostcurve.Point]
 
     @staticmethod
-    def _prove_device(transcript, q_point, g_dev, h_point, a_vec, b_vec,
-                      blind: int, blinds_vec):
-        """On-device reduction; bit-exact with the host path."""
-        from lasso_tpu.curve.jcurve import from_host_points, to_host_points
-        from lasso_tpu.transcript.device_strobe import (DeviceStrobe,
-                                                        DeviceTranscript)
-        from lasso_tpu.subprotocols.grand_product import _post_challenge_meta
-
-        n = a_vec.shape[0]
-        lg_n = (n - 1).bit_length()
-        qh_dev = from_host_points([q_point, h_point])
-        blinds_l = JFr.encode_ints([bl for bl, _ in blinds_vec])
-        blinds_r = JFr.encode_ints([br for _, br in blinds_vec])
-
-        dt = DeviceTranscript.from_host(transcript)
-        entry_meta = (dt.s.pos, dt.s.pos_begin, dt.s.cur_flags)
-        state, lr_acc, u_acc, a_fin_d, b_fin_d, g_fin = _device_bullet(
-            dt.s.state, a_vec, b_vec, g_dev, qh_dev, blinds_l, blinds_r,
-            lg_n, entry_meta)
-
-        flat = JFr.decode(jnp.concatenate(
-            [u_acc, a_fin_d[None], b_fin_d[None]], axis=0))
-        us = flat[:lg_n]
-        a_fin, b_fin = flat[lg_n], flat[lg_n + 1]
-        # [rounds, 2, 4, W] -> [4, W, 2*rounds] for one batched transfer
-        lr_pts = to_host_points(
-            jnp.moveaxis(lr_acc.reshape(2 * lg_n, 4, W), 0, -1))
-        l_points = lr_pts[0::2]
-        r_points = lr_pts[1::2]
-        g_fin_host = to_host_points(g_fin)[0]
-
-        out = DeviceTranscript(DeviceStrobe(None, *_post_challenge_meta()))
-        out.restore_to_host(transcript, np.asarray(state))
-
-        blind_fin = blind % Fr.p
-        for (bl, br), u in zip(blinds_vec, us):
-            u_inv = Fr.inv(u)
-            blind_fin = (blind_fin + bl * u * u + br * u_inv * u_inv) % Fr.p
-
-        gamma_hat = g_fin_host.mul(a_fin).add(
-            q_point.mul(a_fin * b_fin % Fr.p)).add(h_point.mul(blind_fin))
-        return (BulletReductionProof(l_points, r_points),
-                gamma_hat, a_fin, b_fin, g_fin_host, blind_fin)
-
-    @staticmethod
     def prove(transcript, q_point: hostcurve.Point, g_dev, h_point: hostcurve.Point,
               a_vec, b_vec, blind: int, blinds_vec: list[tuple[int, int]]):
         """a_vec, b_vec: [n, W] device Fr; g_dev: [n, 4, W] device bases.
+
+        Host/hybrid reduction (the fallback when the on-device transcript is
+        unavailable; the device path runs the whole DotProductProofLog as one
+        program through _device_dppl instead).
 
         Returns (proof, Gamma_hat, a_final, b_final, g_final (host Point),
         blind_fin)."""
@@ -227,12 +266,6 @@ class BulletReductionProof:
         assert n & (n - 1) == 0
         lg_n = (n - 1).bit_length()
         assert len(blinds_vec) == 2 * lg_n
-
-        from lasso_tpu.subprotocols.sumcheck import _device_sumcheck_supported
-        if n > 1 and _device_sumcheck_supported(transcript):
-            return BulletReductionProof._prove_device(
-                transcript, q_point, g_dev, h_point, a_vec, b_vec, blind,
-                blinds_vec)
 
         qh_dev = from_host_points([q_point, h_point])
         l_points: list[hostcurve.Point] = []
@@ -355,15 +388,23 @@ class BulletReductionProof:
         return u_sq, u_inv_sq, s
 
     def verify(self, n: int, a: list[int], transcript, gamma: hostcurve.Point,
-               g_dev):
-        """Returns (g_hat, gamma_hat, a_hat). g_dev: device bases [n,4,W]."""
+               g_host: list[hostcurve.Point]):
+        """Returns (g_hat, gamma_hat, a_hat). g_host: basis points (host).
+
+        All verifier MSMs here are latency-bound (n is the sqrt-size Hyrax
+        row extent, the L/R combination is 2 log n + 1 points): they run on
+        the native host Pippenger unless n is genuinely large."""
         u_sq, u_inv_sq, s = self.verification_scalars(n, transcript)
 
-        g_hat = to_host_point(msm_device(g_dev, JFr.encode_ints(s)))
+        from lasso_tpu.ops.msm import MSM_HOST_MAX
+        if n <= MSM_HOST_MAX:
+            g_hat = hostcurve.msm_host(g_host, s)
+        else:
+            from lasso_tpu.curve.jcurve import from_host_points
+            g_hat = to_host_point(
+                msm_device(from_host_points(g_host), JFr.encode_ints(s)))
         a_hat = sum(x * y for x, y in zip(a, s)) % Fr.p
 
-        from lasso_tpu.curve.jcurve import from_host_points
-        bases = from_host_points(self.L_vec + self.R_vec + [gamma])
-        scalars = JFr.encode_ints(u_sq + u_inv_sq + [1])
-        gamma_hat = to_host_point(msm_device(bases, scalars))
+        gamma_hat = hostcurve.msm_host(
+            self.L_vec + self.R_vec + [gamma], u_sq + u_inv_sq + [1])
         return g_hat, gamma_hat, a_hat

@@ -31,6 +31,27 @@ def _gens_device(gens: MultiCommitGens):
     return dev
 
 
+def _predoubled_gens(gens: DotProductProofGens):
+    """Pre-doubled window bases of (G ++ q ++ h) for the fused opening-proof
+    program (ops/msm._msm_kernel_flat); one-time per gens, cached.
+
+    Returns (pd_bases [4, W, n_w*(n+2)], c_w, n_w)."""
+    cached = getattr(gens, "_pd_cache", None)
+    if cached is not None:
+        return cached
+    from lasso_tpu.ops.msm import predoubled_windows, window_plan
+
+    g_dev = _gens_device(gens.gens_n)
+    bases = jnp.concatenate(
+        [g_dev[..., : gens.n],
+         from_host_points([gens.gens_1.G[0]])[..., :1],
+         g_dev[..., gens.n:]], axis=-1)  # [4, W, n+2] = G ++ q ++ h
+    c_w, n_w = window_plan(gens.n + 2, 253)
+    pd = predoubled_windows(bases, c_w, n_w)
+    gens._pd_cache = (pd, c_w, n_w)
+    return gens._pd_cache
+
+
 def batch_commit(values_dev, blind: int, gens: MultiCommitGens,
                  full_width: bool = False) -> hostcurve.Point:
     """MSM commitment <values, G> + blind * h (values: [n, W] device Fr)."""
@@ -111,7 +132,14 @@ class DotProductProof:
         c = transcript.challenge_scalar(b"c")
 
         lhs1 = cx.mul(c).add(self.delta)
-        rhs1 = batch_commit(JFr.encode_ints(self.z), self.z_delta, gens_n)
+        from lasso_tpu.ops.msm import MSM_HOST_MAX
+        if gens_n.n + 1 <= MSM_HOST_MAX:
+            # proof scalars are host ints; commit on host rather than paying
+            # an encode/decode round trip through the device
+            rhs1 = hostcurve.msm_host(
+                gens_n.G + [gens_n.h], list(self.z) + [self.z_delta])
+        else:
+            rhs1 = batch_commit(JFr.encode_ints(self.z), self.z_delta, gens_n)
         ok = lhs1 == rhs1
 
         dot_z_a = sum(zi * ai for zi, ai in zip(self.z, a)) % Fr.p
@@ -133,6 +161,69 @@ class DotProductProofLog:
     PROTOCOL_NAME = b"dot product proof (log)"
 
     @staticmethod
+    def _prove_fused(gens: DotProductProofGens, transcript, random_tape,
+                     x_dev, blind_x: int, a_dev, y: int, blind_y: int):
+        """One-dispatch prover: the whole protocol (Cx MSM, absorbs, bullet
+        rounds, delta, c, z1, z2) runs in bullet._device_dppl; a single flat
+        download carries every proof component + the final strobe state."""
+        import numpy as np
+
+        from lasso_tpu.field.jfield import W, unpack_ints
+        from lasso_tpu.subprotocols.bullet import _device_dppl
+        from lasso_tpu.transcript.device_strobe import (DeviceStrobe,
+                                                        DeviceTranscript)
+        from lasso_tpu.subprotocols.grand_product import _post_challenge_meta
+        from lasso_tpu.subprotocols.bullet import BulletReductionProof
+
+        n = x_dev.shape[0]
+        lg_n = (n - 1).bit_length()
+
+        d = random_tape.random_scalar(b"d")
+        r_delta = random_tape.random_scalar(b"r_delta")
+        r_beta = random_tape.random_scalar(b"r_delta")
+        v1 = random_tape.random_vector(b"blinds_vec_1", 2 * lg_n)
+        v2 = random_tape.random_vector(b"blinds_vec_2", 2 * lg_n)
+
+        cy = commit_scalar(y % Fr.p, blind_y, gens.gens_1)
+        beta = commit_scalar(d, r_beta, gens.gens_1)
+        cy_bytes = jnp.asarray(
+            np.frombuffer(cy.to_compressed_bytes(), np.uint8).astype(np.uint32))
+        beta_bytes = jnp.asarray(
+            np.frombuffer(beta.to_compressed_bytes(), np.uint8)
+            .astype(np.uint32))
+
+        pd_bases, c_w, n_w = _predoubled_gens(gens)
+
+        dt = DeviceTranscript.from_host(transcript)
+        entry_meta = (dt.s.pos, dt.s.pos_begin, dt.s.cur_flags)
+        flat = _device_dppl(
+            dt.s.state, x_dev, a_dev, pd_bases, cy_bytes, beta_bytes,
+            JFr.encode_scalar(blind_x % Fr.p), JFr.encode_ints(v1),
+            JFr.encode_ints(v2), JFr.encode_scalar(d),
+            JFr.encode_scalar(r_delta), JFr.encode_scalar(r_beta),
+            JFr.encode_scalar((blind_x + blind_y) % Fr.p), lg_n, c_w, n_w,
+            entry_meta)
+        vals = np.asarray(flat)  # the single download
+
+        state = vals[:200]
+        k = 2 * lg_n + 2
+        xa = unpack_ints(vals[200: 200 + k * W].reshape(k, W))
+        ya = unpack_ints(vals[200 + k * W: 200 + 2 * k * W].reshape(k, W))
+        z1, z2 = unpack_ints(vals[200 + 2 * k * W:].reshape(2, W))
+
+        out = DeviceTranscript(DeviceStrobe(None, *_post_challenge_meta()))
+        out.restore_to_host(transcript, state)
+
+        pts = [hostcurve.Point.from_affine(x, yv) for x, yv in zip(xa, ya)]
+        cx = pts[0]
+        l_points = pts[1: 1 + lg_n]
+        r_points = pts[1 + lg_n: 1 + 2 * lg_n]
+        delta = pts[1 + 2 * lg_n]
+        proof = DotProductProofLog(
+            BulletReductionProof(l_points, r_points), delta, beta, z1, z2)
+        return proof, cx, cy
+
+    @staticmethod
     @instrument("DotProductProofLog.prove")
     def prove(gens: DotProductProofGens, transcript, random_tape,
               x_dev, blind_x: int, a_dev, y: int, blind_y: int,
@@ -145,6 +236,12 @@ class DotProductProofLog:
         n = x_dev.shape[0]
         assert gens.n == n
         lg_n = (n - 1).bit_length()
+
+        from lasso_tpu.subprotocols.sumcheck import _device_sumcheck_supported
+        if n > 1 and _device_sumcheck_supported(transcript):
+            return DotProductProofLog._prove_fused(
+                gens, transcript, random_tape, x_dev, blind_x, a_dev, y,
+                blind_y)
 
         d = random_tape.random_scalar(b"d")
         r_delta = random_tape.random_scalar(b"r_delta")
@@ -201,9 +298,8 @@ class DotProductProofLog:
         transcript.append_scalars(b"a", a)
 
         gamma = cx.add(cy)
-        g_dev = _gens_device(gens.gens_n)[..., : gens.n]
         g_hat, gamma_hat, a_hat = self.bullet_reduction_proof.verify(
-            n, a, transcript, gamma, g_dev)
+            n, a, transcript, gamma, gens.gens_n.G[: gens.n])
 
         transcript.append_point(b"delta", self.delta)
         transcript.append_point(b"beta", self.beta)

@@ -301,6 +301,25 @@ class DeviceTranscript:
         self.s.meta_ad_static(_u32_le(32), True)
         self.s.ad_dynamic(byte_vec, False)
 
+    def append_scalars(self, label: bytes, scalars_mont) -> None:
+        """Vector append with the host append_scalars framing
+        (begin/end markers + one message per scalar); scalars_mont: [k, W]
+        Montgomery limbs, canonicalized in one batched multiply."""
+        from lasso_tpu.field.jfield import JFr
+
+        k = int(scalars_mont.shape[0])
+        canonical = JFr.mul(scalars_mont,
+                            jnp.asarray(JFr.one_limbs)[None])  # [k, W]
+        lo = canonical & 0xFF
+        hi = canonical >> 8
+        byte_rows = jnp.stack([lo, hi], axis=2).reshape(k, 32)
+        self.append_message_static(label, b"begin_append_vector")
+        for i in range(k):
+            self.s.meta_ad_static(label, False)
+            self.s.meta_ad_static(_u32_le(32), True)
+            self.s.ad_dynamic(byte_rows[i], False)
+        self.append_message_static(label, b"end_append_vector")
+
     def challenge_scalar(self, label: bytes):
         """64-byte PRF reduced mod Fr -> [W] Montgomery limbs."""
         from lasso_tpu.field.jfield import JFr, W
