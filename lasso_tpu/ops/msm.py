@@ -188,6 +188,39 @@ def _msm_kernel(points, scalars, c: int, num_windows: int):
     return total
 
 
+# Per-device MSMs at or below this size use the double-and-add kernel: its
+# HLO graph is ~3 curve-op bodies (one pdbl + one padd in a fori_loop, plus
+# the tree_sum combine) versus the Pippenger kernel's sort/scan pipeline,
+# which costs minutes of XLA:CPU compile time on the 1-core virtual-mesh
+# host.  At these sizes the serial bit loop is also genuinely competitive:
+# the MSM is latency-bound, not throughput-bound.
+TINY_MSM_MAX = int(os.environ.get("LASSO_TPU_TINY_MSM_MAX", "8"))
+
+
+@functools.partial(jax.jit, static_argnames=("num_bits",))
+def _msm_tiny_kernel(points, scalars, num_bits: int):
+    """MSM by vectorized double-and-add: points [4, W, n], scalars [n, W]
+    canonical integer limbs, scanning num_bits bits MSB-first.  Returns
+    [4, W, 1].  One pdbl + one masked padd per bit over ALL points in
+    parallel, then a tree_sum -- a tiny compile-once graph for the small
+    per-device MSMs of the virtual-mesh dry run."""
+    n = points.shape[-1]
+    # bits_all[b, j] = bit b of scalar j (b < 16*W)
+    shifts = jnp.arange(16, dtype=jnp.int32)
+    bits = ((scalars[:, :, None].astype(jnp.int32) >> shifts[None, None, :])
+            & 1)  # [n, W, 16]
+    bits_all = bits.reshape(n, 16 * W).T  # [16*W, n]
+
+    def body(i, acc):
+        b = jax.lax.dynamic_index_in_dim(
+            bits_all, num_bits - 1 - i, axis=0, keepdims=False)  # [n]
+        acc = pdbl(acc)
+        return pselect(b.astype(bool), padd(acc, points), acc)
+
+    acc = jax.lax.fori_loop(0, num_bits, body, identity(n))
+    return tree_sum(acc)
+
+
 @functools.partial(jax.jit, static_argnames=("c", "num_windows"))
 def predoubled_windows(points, c: int, num_windows: int):
     """[4, W, n] -> [4, W, num_windows*n]: slice w holds 2^(c*w) * P_j.

@@ -19,6 +19,17 @@ if _platform:
         jax.config.update("jax_platforms", _platform)
     except Exception:
         pass
+    if _platform == "cpu":
+        # The CPU profile checks correctness, not CPU codegen quality: turn
+        # LLVM optimization off.  The unrolled limb-field graphs otherwise
+        # take minutes per program to compile on this 1-core host (same
+        # rationale as __graft_entry__.dryrun_multichip).
+        _flags = os.environ.get("XLA_FLAGS", "")
+        for _f in ("--xla_backend_optimization_level=0",
+                   "--xla_llvm_disable_expensive_passes=true"):
+            if _f not in _flags:
+                _flags = (_flags + " " + _f).strip()
+        os.environ["XLA_FLAGS"] = _flags
 
 try:
     jax.config.update("jax_num_cpu_devices", 8)
