@@ -94,19 +94,48 @@ class DensifiedRepresentation:
         read_list, final_list = [], []
         for i in range(c):
             read_ts, final_ts = _timestamps(self.dim_usize[i], m)
-            read_list.append(read_ts)
-            final_list.append(final_ts)
+            read_list.append(np.asarray(read_ts).astype(np.uint64))
+            final_list.append(np.asarray(final_ts).astype(np.uint64))
 
-        def _to_poly(x):
-            return DensePolynomial(
-                JFr.encode_u64_array(np.asarray(x).astype(np.uint64)))
+        # ONE encode per merged polynomial: the combined arrays are the only
+        # resident copies; the per-dimension dim/read/final polys are lazy
+        # slice views (see the properties below).  The previous layout kept
+        # the 2C+C individual polys AND their merged copies alive for the
+        # whole prove -- double the HBM of the largest tensors in the proof.
+        def _merged_flat(rows_u64: list[np.ndarray]) -> np.ndarray:
+            total = sum(len(r) for r in rows_u64)
+            pow2 = 1 << (total - 1).bit_length()
+            flat = np.zeros(pow2, dtype=np.uint64)
+            off = 0
+            for r in rows_u64:
+                flat[off: off + len(r)] = r
+                off += len(r)
+            return flat
 
-        self.dim = [_to_poly(self.dim_usize[i]) for i in range(c)]
-        self.read = [_to_poly(r) for r in read_list]
-        self.final = [_to_poly(f) for f in final_list]
+        dim_u64 = [padded[:, i].astype(np.uint64) for i in range(c)]
+        self.combined_l_variate_polys = DensePolynomial(
+            JFr.encode_u64_array(_merged_flat(dim_u64 + read_list)))
+        self.combined_log_m_variate_polys = DensePolynomial(
+            JFr.encode_u64_array(_merged_flat(final_list)))
 
-        self.combined_l_variate_polys = DensePolynomial.merge(self.dim + self.read)
-        self.combined_log_m_variate_polys = DensePolynomial.merge(self.final)
+    # -- lazy per-dimension views (materialized slices; do not hold) ----------
+    @property
+    def dim(self) -> list[DensePolynomial]:
+        z = self.combined_l_variate_polys.z
+        return [DensePolynomial(z[i * self.s: (i + 1) * self.s])
+                for i in range(self.c)]
+
+    @property
+    def read(self) -> list[DensePolynomial]:
+        z = self.combined_l_variate_polys.z
+        return [DensePolynomial(z[(self.c + i) * self.s: (self.c + i + 1) * self.s])
+                for i in range(self.c)]
+
+    @property
+    def final(self) -> list[DensePolynomial]:
+        z = self.combined_log_m_variate_polys.z
+        return [DensePolynomial(z[i * self.m: (i + 1) * self.m])
+                for i in range(self.c)]
 
     @instrument("DensifiedRepresentation.commit")
     def commit(self, gens) -> SparsePolynomialCommitment:

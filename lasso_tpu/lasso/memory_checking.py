@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lasso_tpu.field.host import Fr
-from lasso_tpu.field.jfield import JFr
+from lasso_tpu.field.jfield import JFr, W
 from lasso_tpu.poly.dense import (bound_var_bot_host, eq_evals_device,
                                   eq_evals_host)
 from lasso_tpu.poly.hyrax import PolyEvalProof
@@ -36,6 +36,46 @@ from lasso_tpu.utils.tracing import instrument, span
 def _fingerprint(a, v, t, gamma, gamma_sq, tau):
     """h(a, v, t) = t*gamma^2 + v*gamma + a - tau, fused over any batch."""
     return JFr.sub(JFr.add(JFr.add(JFr.mul(t, gamma_sq), JFr.mul(v, gamma)), a), tau)
+
+
+def _interleave(x, y):
+    """[x_0, y_0, x_1, y_1, ...] along a new instance axis."""
+    stacked = jnp.stack([x, y], axis=1)  # [alpha, 2, n, W]
+    return stacked.reshape(2 * x.shape[0], x.shape[1], x.shape[2])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dim_of", "sub_of", "c", "s", "m"))
+def _rw_leaves_kernel(flat_l, flat_e, table_vals, g, g2, t,
+                      dim_of: tuple, sub_of: tuple, c: int, s: int, m: int):
+    """Read/write fingerprint leaves [2*alpha, s, W] from the flat merged
+    polynomials -- ONE program, so the per-memory dim/read/value stacks are
+    fusion temporaries instead of resident [alpha, s, W] copies."""
+    alpha = len(dim_of)
+    dim = flat_l[: c * s].reshape(c, s, W)
+    read = flat_l[c * s: 2 * c * s].reshape(c, s, W)
+    dim_stack = jnp.stack([dim[d] for d in dim_of])
+    read_stack = jnp.stack([read[d] for d in dim_of])
+    v_ops = flat_e[: alpha * s].reshape(alpha, s, W)
+    one = JFr.ones(s)
+    read_f = _fingerprint(dim_stack, v_ops, read_stack, g, g2, t)
+    write_f = _fingerprint(dim_stack, v_ops, JFr.add(read_stack, one[None]),
+                           g, g2, t)
+    return _interleave(read_f, write_f)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dim_of", "sub_of", "c", "m"))
+def _if_leaves_kernel(flat_m, table_vals, addr, g, g2, t,
+                      dim_of: tuple, sub_of: tuple, c: int, m: int):
+    """Init/final fingerprint leaves [2*alpha, M, W] (M-sized: small)."""
+    final = flat_m[: c * m].reshape(c, m, W)
+    final_stack = jnp.stack([final[d] for d in dim_of])
+    v_mem = jnp.stack([table_vals[k] for k in sub_of])
+    zero = jnp.zeros_like(addr)
+    init_f = _fingerprint(addr[None], v_mem, zero[None], g, g2, t)
+    final_f = _fingerprint(addr[None], v_mem, final_stack, g, g2, t)
+    return _interleave(init_f, final_f)
 
 
 def build_grand_product_batches(dense, subtables, r_mem_check):
@@ -54,38 +94,20 @@ def build_grand_product_batches(dense, subtables, r_mem_check):
 
     alpha = strategy.num_memories
     m = dense.m
+    dim_of = tuple(strategy.memory_to_dimension_index(i) for i in range(alpha))
+    sub_of = tuple(strategy.memory_to_subtable_index(i) for i in range(alpha))
 
     addr = JFr.encode_u64_array(np.arange(m, dtype=np.uint64))  # [M, W]
-    zero = jnp.zeros_like(addr)
-    one = JFr.ones(dense.s)
 
-    # per-memory stacks
-    v_mem = jnp.stack([
-        subtables.table_vals[strategy.memory_to_subtable_index(i)]
-        for i in range(alpha)])  # [alpha, M, W]
-    final_stack = jnp.stack([
-        dense.final[strategy.memory_to_dimension_index(i)].z
-        for i in range(alpha)])  # [alpha, M, W]
-    dim_stack = jnp.stack([
-        dense.dim[strategy.memory_to_dimension_index(i)].z
-        for i in range(alpha)])  # [alpha, s, W]
-    read_stack = jnp.stack([
-        dense.read[strategy.memory_to_dimension_index(i)].z
-        for i in range(alpha)])  # [alpha, s, W]
-    v_ops = subtables.lookup_stack  # [alpha, s, W] = T[dim]
+    rw_leaves = _rw_leaves_kernel(
+        dense.combined_l_variate_polys.z, subtables.combined_poly.z,
+        subtables.table_vals, g, g2, t, dim_of, sub_of, dense.c, dense.s, m)
+    if_leaves = _if_leaves_kernel(
+        dense.combined_log_m_variate_polys.z, subtables.table_vals, addr,
+        g, g2, t, dim_of, sub_of, dense.c, m)
 
-    init = _fingerprint(addr[None], v_mem, zero[None], g, g2, t)
-    final = _fingerprint(addr[None], v_mem, final_stack, g, g2, t)
-    read = _fingerprint(dim_stack, v_ops, read_stack, g, g2, t)
-    write = _fingerprint(dim_stack, v_ops, JFr.add(read_stack, one[None]), g, g2, t)
-
-    # interleave: [x_0, y_0, x_1, y_1, ...]
-    def interleave(x, y):
-        stacked = jnp.stack([x, y], axis=1)  # [alpha, 2, n, W]
-        return stacked.reshape(2 * alpha, x.shape[1], x.shape[2])
-
-    rw = BatchedGrandProductCircuit(interleave(read, write))
-    inf = BatchedGrandProductCircuit(interleave(init, final))
+    rw = BatchedGrandProductCircuit(rw_leaves)
+    inf = BatchedGrandProductCircuit(if_leaves)
     return rw, inf
 
 
@@ -121,8 +143,13 @@ class ProductLayerProof:
 
         proof_ops, rand_ops = BatchedGrandProductArgument.prove(
             rw_circuits, transcript)
+        # the s-sized read/write tree (~2*2*alpha*s field elements) is dead
+        # weight from here on -- free it before the init/final argument and
+        # the hash layer's big openings run
+        rw_circuits.release()
         proof_mem, rand_mem = BatchedGrandProductArgument.prove(
             if_circuits, transcript)
+        if_circuits.release()
 
         return (ProductLayerProof(grand_product_evals, proof_mem, proof_ops),
                 rand_mem, rand_ops)
@@ -152,12 +179,6 @@ class ProductLayerProof:
             init_final_claims, num_cells, transcript)
 
         return claims_mem, rand_mem, claims_ops, rand_ops
-
-
-def _evaluate_stack_at(stack, chis) -> list[int]:
-    """Evaluate stacked MLEs [k, n, W] at a point given its eq table [n, W]."""
-    prods = JFr.mul(stack, chis[None])
-    return JFr.decode(JFr.sum(jnp.moveaxis(prods, 1, 0)))
 
 
 def _next_pow2(n: int) -> int:
@@ -194,12 +215,12 @@ class HashLayerProof:
 
         c = dense.c
         with span("HashLayer.stack_evals"):
-            dim_read_stack = jnp.stack(
-                [p.z for p in dense.dim] + [p.z for p in dense.read])
-            dim_read_evals = _evaluate_stack_at(dim_read_stack, chis_ops)
+            from lasso_tpu.subtables.container import _weighted_evals_kernel
+            dim_read_evals = JFr.decode(_weighted_evals_kernel(
+                dense.combined_l_variate_polys.z, chis_ops, 2 * c, dense.s))
             eval_dim, eval_read = dim_read_evals[:c], dim_read_evals[c:]
-            final_stack = jnp.stack([p.z for p in dense.final])
-            eval_final = _evaluate_stack_at(final_stack, chis_mem)
+            eval_final = JFr.decode(_weighted_evals_kernel(
+                dense.combined_log_m_variate_polys.z, chis_mem, c, dense.m))
 
         with span("HashLayer.fold_ops"):
             evals_ops = eval_dim + eval_read

@@ -9,12 +9,14 @@ Fiat-Shamir transcript orchestrates on host.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 
 from lasso_tpu.field.host import Fr
-from lasso_tpu.field.jfield import JFr
+from lasso_tpu.field.jfield import JFr, W
 from lasso_tpu.lasso.densified import (DensifiedRepresentation,
                                        SparsePolynomialCommitment)
 from lasso_tpu.lasso.memory_checking import MemoryCheckingProof
@@ -31,6 +33,14 @@ from lasso_tpu.utils.tracing import instrument, span
 
 def _next_pow2(n: int) -> int:
     return 1 << max((n - 1).bit_length(), 0)
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "s"))
+def _stack_with_eq(flat, eq_table, alpha: int, s: int):
+    """[E_1..E_alpha, eq] sumcheck stack straight from the flat merged
+    lookups (one program: no intermediate [alpha, s, W] copy)."""
+    stack = flat[: alpha * s].reshape(alpha, s, W)
+    return jnp.concatenate([stack, eq_table[None]], axis=0)
 
 
 def _log2(n: int) -> int:
@@ -98,7 +108,9 @@ class SparsePolynomialEvaluationProof:
         claimed_eval = subtables.compute_sumcheck_claim(eq_table)
         transcript.append_scalar(b"claim_eval_scalar_product", claimed_eval)
 
-        stack = jnp.concatenate([subtables.lookup_stack, eq_table[None]], axis=0)
+        stack = _stack_with_eq(
+            subtables.combined_poly.z, eq_table,
+            strategy.num_memories, dense.s)
         sc_proof, r_z, _final_evals, _ = prove_arbitrary(
             stack, strategy.comb_eq_device(), strategy.sumcheck_poly_degree(),
             _log2(dense.s), transcript)

@@ -278,18 +278,21 @@ _msm_kernel_flat_batch = jax.jit(
     static_argnames=("c", "num_windows"))
 
 
+def _bits_of_col_max(col_max: np.ndarray) -> int:
+    val = 0
+    for i, limb in enumerate(col_max):
+        if limb:
+            val = max(val, 16 * i + int(limb).bit_length())
+    return max(val, 1)
+
+
 def max_scalar_bits(scalar_int_limbs) -> int:
     """Exact max bit-width across scalars (one tiny device->host pull).
 
     Uses per-limb column maxima: the max scalar bit width equals
     max_j (16*j + bitlen(max of column j)) since bitlen is monotone.
     """
-    col_max = np.asarray(jnp.max(scalar_int_limbs, axis=0))
-    val = 0
-    for i, limb in enumerate(col_max):
-        if limb:
-            val = max(val, 16 * i + int(limb).bit_length())
-    return max(val, 1)
+    return _bits_of_col_max(np.asarray(jnp.max(scalar_int_limbs, axis=0)))
 
 
 # MSMs below this size run on host (Python Pippenger): they are latency
@@ -358,17 +361,50 @@ _msm_kernel_rows = jax.jit(
     static_argnames=("c", "num_windows"))
 
 
+@jax.jit
+def _row_chunk_int_limbs(rows_mont):
+    """[r, n, W] Montgomery -> canonical integer limbs, one fused program."""
+    r, n, _ = rows_mont.shape
+    return JFr.to_int_limbs(rows_mont.reshape(r * n, W)).reshape(r, n, W)
+
+
+# Column cap for the batched row-MSM kernel: wider matrices split into
+# column chunks whose per-row partial points are tree-added.  Pippenger is
+# additive over input partitions (exact curve adds), so results are
+# identical -- but every Hyrax commit at every s now reuses the SAME
+# compiled <=2^12-column kernels.  The unbounded-width kernel at the
+# s=2^24 halo2 shape (8192 columns) OOM-killed the remote XLA compile
+# helper; capping the program size fixes the compile and keeps the cache
+# warm across the whole bench grid.
+MSM_BATCH_COL_MAX = int(os.environ.get("LASSO_TPU_MSM_BATCH_COLS",
+                                       str(1 << 12)))
+
+
 def msm_batch_device(points, scalars_mont_rows, modulus_bits: int = 253,
                      row_chunk: int = 128):
     """Many MSMs sharing one basis (the Hyrax row-commit shape).
 
-    points: [n, 4, W]; scalars_mont_rows: [rows, n, W] Montgomery Fr.
-    Returns [rows, 4, W].  Rows are vmapped into one kernel; large row counts
-    are chunked to bound the gather working set.
+    points: [4, W, n]; scalars_mont_rows: [rows, n, W] Montgomery Fr.
+    Returns [rows, 4, W, 1].  Rows are vmapped into one kernel; large row
+    counts are chunked to bound the gather working set.
     """
     rows, n, _ = scalars_mont_rows.shape
     if n == 0 or rows == 0:
         return identity(1, (rows,))
+    if n > MSM_BATCH_COL_MAX and n % MSM_BATCH_COL_MAX == 0:
+        k = n // MSM_BATCH_COL_MAX
+        partials = [
+            msm_batch_device(
+                points[..., i * MSM_BATCH_COL_MAX:(i + 1) * MSM_BATCH_COL_MAX],
+                scalars_mont_rows[:, i * MSM_BATCH_COL_MAX:
+                                  (i + 1) * MSM_BATCH_COL_MAX],
+                modulus_bits, row_chunk)
+            for i in range(k)
+        ]
+        # [rows, 4, W, k] -> tree of padds -> [rows, 4, W, 1]
+        stacked = jnp.concatenate(
+            [p.reshape(rows, 4, W, -1) for p in partials], axis=-1)
+        return tree_sum(stacked)
     if rows * n <= 4 * MSM_HOST_MAX:
         from lasso_tpu.curve.jcurve import from_host_points, to_host_points
         host_pts = to_host_points(points)
@@ -377,15 +413,23 @@ def msm_batch_device(points, scalars_mont_rows, modulus_bits: int = 253,
                for i in range(rows)]
         # [rows, 4, W, 1] to match the device branch
         return jnp.moveaxis(from_host_points(res), -1, 0)[..., None]
-    scalars_int = JFr.to_int_limbs(scalars_mont_rows.reshape(rows * n, W))
-    max_bits = max_scalar_bits(scalars_int)
+
+    # canonical-limb conversion runs PER ROW CHUNK: a whole-matrix
+    # to_int_limbs copy costs as much HBM as the polynomial itself at
+    # 2^24-element scale.  The width scan accumulates per-limb column maxima
+    # on device across chunks and syncs once.
+    col_max = None
+    for start in range(0, rows, row_chunk):
+        ints = _row_chunk_int_limbs(scalars_mont_rows[start: start + row_chunk])
+        cm = jnp.max(ints.reshape(-1, W), axis=0)
+        col_max = cm if col_max is None else jnp.maximum(col_max, cm)
+    max_bits = _bits_of_col_max(np.asarray(col_max))
     if max_bits > 60:
         max_bits = modulus_bits
-    scalars_int = scalars_int.reshape(rows, n, W)
     c, num_windows = window_plan(n, max_bits)
 
     outs = []
     for start in range(0, rows, row_chunk):
-        chunk = scalars_int[start: start + row_chunk]
+        chunk = _row_chunk_int_limbs(scalars_mont_rows[start: start + row_chunk])
         outs.append(_msm_kernel_rows(points, chunk, c, num_windows))
     return jnp.concatenate(outs, axis=0)

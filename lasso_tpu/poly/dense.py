@@ -40,6 +40,16 @@ def _bound_var_bot(z, r):
 
 
 @jax.jit
+def _bound_fold(z, l_vec):
+    """L-fold L @ Z over the [L, R] matrix view, ONE program: the row-scaled
+    products fuse into the reduction instead of materializing a full-size
+    [L, R, W] intermediate (2x the polynomial's HBM at flagship shapes)."""
+    l_size = l_vec.shape[0]
+    zmat = z.reshape(l_size, -1, W)
+    return JFr.sum(JFr.mul(zmat, l_vec[:, None, :]))
+
+
+@jax.jit
 def _eq_evals_stacked(r_stack):
     """[l, W] challenges -> [2^l, W] eq table; one fused dispatch."""
     e = JFr.ones(1)
@@ -119,11 +129,7 @@ class DensePolynomial:
 
     def bound(self, l_vec: jnp.ndarray) -> jnp.ndarray:
         """L-fold for Hyrax: view Z as [L, R] matrix, return L @ Z ([R, W])."""
-        l_size = l_vec.shape[0]
-        r_size = len(self) // l_size
-        zmat = self.z.reshape(l_size, r_size, W)
-        prods = JFr.mul(zmat, l_vec[:, None, :])
-        return JFr.sum(prods)
+        return _bound_fold(self.z, l_vec)
 
     def evaluate_device(self, r_list) -> jnp.ndarray:
         """Z(r) as [W] device scalar."""

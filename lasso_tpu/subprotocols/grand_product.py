@@ -12,6 +12,7 @@ multi-host runs combine shard-local subtrees with a log(#shards) top tree
 from __future__ import annotations
 
 import functools
+import os as _os
 from dataclasses import dataclass
 
 import jax
@@ -35,10 +36,54 @@ from lasso_tpu.utils.errors import LassoError
 from lasso_tpu.utils.tracing import instrument
 
 
+@jax.jit
+def _layer_product(vals):
+    """[I, n, W] -> [I, n/2, W]: pairwise left*right products, one program
+    (the halving slices fuse into the multiply instead of materializing)."""
+    half = vals.shape[1] // 2
+    return JFr.mul(vals[:, :half], vals[:, half:])
+
+
+# Product-tree layers whose tensor exceeds this many field elements are NOT
+# kept resident: the host-loop suffix recomputes them from the leaves on
+# demand (t chained pairwise-product programs, ~2n extra multiplies per big
+# layer -- milliseconds) instead of holding every wide layer in HBM for the
+# whole argument.  At jolt-demo scale (C=8, s=2^22: 2*alpha*s = 2^26 leaf
+# elements) storing the full tree is the difference between fitting and
+# RESOURCE_EXHAUSTED.
+GP_STORE_ELEMS = int(
+    _os.environ.get("LASSO_TPU_GP_STORE_ELEMS", str(1 << 22)))
+
+
+class _HalfView:
+    """Lazy left/right halves of the per-layer product tensors.
+
+    `view[i]` materializes the requested half of layer i on demand (a
+    transient slice) instead of the circuit storing BOTH halves of every
+    layer as separate copies -- that doubled-resident layout was the single
+    biggest HBM consumer at jolt-demo scale (C=8: 2*alpha*s leaves)."""
+
+    def __init__(self, circuit: "BatchedGrandProductCircuit", side: int):
+        self._circuit = circuit
+        self._side = side
+
+    def __len__(self) -> int:
+        return self._circuit.num_layers
+
+    def __getitem__(self, i: int) -> jnp.ndarray:
+        vals = self._circuit.layer(i)
+        half = vals.shape[1] // 2
+        return vals[:, :half] if self._side == 0 else vals[:, half:]
+
+
 class BatchedGrandProductCircuit:
     """I product-tree circuits over inputs [I, n, W] (n a power of two).
 
-    Layer i stores (left, right) halves, each [I, n / 2^(i+1), W].
+    Storage: the leaves plus every layer small enough for the GP_STORE_ELEMS
+    budget (one tensor per layer -- the (left, right) halves the argument
+    consumes are lazy `_HalfView` slices).  Wider layers are recomputed from
+    the leaves on demand, so resident memory is ~n field elements instead of
+    the ~3n of a fully materialized left+right tree.
     """
 
     def __init__(self, inputs: jnp.ndarray):
@@ -46,25 +91,53 @@ class BatchedGrandProductCircuit:
         num_instances, n, _ = inputs.shape
         assert n & (n - 1) == 0 and n >= 2
         self.num_instances = num_instances
-        self.left_layers: list[jnp.ndarray] = []
-        self.right_layers: list[jnp.ndarray] = []
-        left, right = inputs[:, : n // 2], inputs[:, n // 2:]
-        self.left_layers.append(left)
-        self.right_layers.append(right)
-        while left.shape[1] > 1:
-            prod = JFr.mul(left, right)
-            m = prod.shape[1] // 2
-            left, right = prod[:, :m], prod[:, m:]
-            self.left_layers.append(left)
-            self.right_layers.append(right)
+        self._num_layers = (n - 1).bit_length()
+        self._leaves = inputs
+        self._stored: dict[int, jnp.ndarray] = {}
+        cur = inputs
+        t = 0
+        while cur.shape[1] > 2:
+            cur = _layer_product(cur)
+            t += 1
+            if cur.size // W <= GP_STORE_ELEMS:
+                self._stored[t] = cur
+        self._top_t = t  # layer index of the width-2 top (0 when n == 2)
+        if t and t not in self._stored:
+            self._stored[t] = cur
+
+    def layer(self, t: int) -> jnp.ndarray:
+        """Layer t values [I, n / 2^t, W] (recomputed if not resident)."""
+        if t == 0:
+            return self._leaves
+        got = self._stored.get(t)
+        if got is not None:
+            return got
+        cur = self._leaves
+        for _ in range(t):
+            cur = _layer_product(cur)
+        return cur
+
+    @property
+    def left_layers(self) -> _HalfView:
+        return _HalfView(self, 0)
+
+    @property
+    def right_layers(self) -> _HalfView:
+        return _HalfView(self, 1)
 
     @property
     def num_layers(self) -> int:
-        return len(self.left_layers)
+        return self._num_layers
+
+    def release(self) -> None:
+        """Drop all layer tensors (free HBM once the argument is done)."""
+        self._leaves = None
+        self._stored = {}
 
     def evaluate(self) -> list[int]:
         """Root products, one per instance (host ints)."""
-        root = JFr.mul(self.left_layers[-1][:, 0], self.right_layers[-1][:, 0])
+        top = self.layer(self._top_t)
+        root = JFr.mul(top[:, 0], top[:, 1])
         return JFr.decode(root)
 
 

@@ -94,6 +94,7 @@ class SubtableStrategy:
         self.m = m
         self.log_m = m.bit_length() - 1
         self._comb_eq_device = None
+        self._comb_device = None
 
     def comb_eq_device(self):
         """Cached device comb function for the primary sumcheck (stable object
@@ -104,6 +105,16 @@ class SubtableStrategy:
                 return self.combine_lookups_eq(vals, DeviceOps)
             self._comb_eq_device = comb
         return self._comb_eq_device
+
+    def comb_device(self):
+        """Cached device collation g over stacked rows [alpha, m, W] (no eq
+        factor) -- static arg for the fused claim kernel."""
+        if self._comb_device is None:
+            def comb(zs):
+                vals = [zs[i] for i in range(zs.shape[0])]
+                return self.combine_lookups(vals, DeviceOps)
+            self._comb_device = comb
+        return self._comb_device
 
     # -- hooks ----------------------------------------------------------------
     @property

@@ -9,6 +9,7 @@ combine + modular tree reduction.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -24,8 +25,47 @@ from lasso_tpu.utils.errors import LassoError
 from lasso_tpu.utils.tracing import instrument
 
 
+@functools.partial(jax.jit, static_argnames=("sub_of", "dim_of", "pad"))
+def _gather_flat(table_vals, nz, sub_of: tuple, dim_of: tuple, pad: int):
+    """E_i = T_{sub(i)}[nz_{dim(i)}] for all memories, returned MERGED as one
+    flat [next_pow2(alpha*s), W] array (rows are contiguous slices).  One
+    fused program: the per-memory gathers concatenate without a separate
+    stacked copy ever being resident."""
+    rows = [jnp.take(table_vals[k], nz[d], axis=0)
+            for k, d in zip(sub_of, dim_of)]
+    if pad:
+        rows.append(jnp.zeros((pad, W), jnp.uint32))
+    return jnp.concatenate(rows, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("comb", "alpha", "s"))
+def _claim_kernel(flat, eq_table, comb, alpha: int, s: int):
+    """sum_k eq[k] * g(E(k)) from the flat merged lookups; the reshape/slice
+    fuse into the combine instead of materializing an [alpha, s, W] copy."""
+    stack = flat[: alpha * s].reshape(alpha, s, W)
+    return JFr.sum(JFr.mul(comb(stack), eq_table))
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "s"))
+def _weighted_evals_kernel(flat, chis, alpha: int, s: int):
+    stack = flat[: alpha * s].reshape(alpha, s, W)
+    prods = JFr.mul(stack, chis[None])
+    return JFr.sum(jnp.moveaxis(prods, 1, 0))  # [alpha, W]
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "s"))
+def _rows_view(flat, alpha: int, s: int):
+    return flat[: alpha * s].reshape(alpha, s, W)
+
+
 class Subtables:
-    """Materialized subtables + lookup polynomials for one proof instance."""
+    """Materialized subtables + lookup polynomials for one proof instance.
+
+    Storage: ONE flat merged array (`combined_poly.z`, [next_pow2(alpha*s),
+    W]).  The per-memory stack view is materialized lazily on access -- the
+    previous layout kept both the stack and the merged copy resident, which
+    at jolt-demo scale (alpha=8) costs ~1 GB of duplicate HBM per 2^20
+    lookups."""
 
     @instrument("Subtables.construct")
     def __init__(self, strategy: SubtableStrategy, nz: jnp.ndarray, s: int):
@@ -37,18 +77,28 @@ class Subtables:
         tables_u64 = strategy.materialize_subtables()  # [NS, M] uint64
         self.table_vals = JFr.encode_u64_array(tables_u64)  # [NS, M, W]
 
-        # E_i = T_{sub(i)}[nz_{dim(i)}]: one gather per memory, stacked
-        gathers = []
-        for i in range(strategy.num_memories):
-            tbl = self.table_vals[strategy.memory_to_subtable_index(i)]
-            idx = nz[strategy.memory_to_dimension_index(i)]
-            gathers.append(jnp.take(tbl, idx, axis=0))
-        self.lookup_stack = jnp.stack(gathers)  # [alpha, s, W]
+        alpha = strategy.num_memories
+        sub_of = tuple(strategy.memory_to_subtable_index(i)
+                       for i in range(alpha))
+        dim_of = tuple(strategy.memory_to_dimension_index(i)
+                       for i in range(alpha))
+        total = alpha * s
+        pad = (1 << (total - 1).bit_length()) - total
+        flat = _gather_flat(self.table_vals, nz, sub_of, dim_of, pad)
+        self.combined_poly = DensePolynomial(flat)
 
-        polys = [DensePolynomial(self.lookup_stack[i])
-                 for i in range(strategy.num_memories)]
-        self.lookup_polys = polys
-        self.combined_poly = DensePolynomial.merge(polys)
+    # -- lazy per-memory views ---------------------------------------------------
+    @property
+    def lookup_stack(self) -> jnp.ndarray:
+        """[alpha, s, W] stacked E_i (materialized on access)."""
+        return _rows_view(
+            self.combined_poly.z, self.strategy.num_memories, self.s)
+
+    @property
+    def lookup_polys(self) -> list:
+        stack = self.lookup_stack
+        return [DensePolynomial(stack[i])
+                for i in range(self.strategy.num_memories)]
 
     # -- primary sumcheck hooks ------------------------------------------------
     def combine_eq_device(self, zs):
@@ -59,15 +109,15 @@ class Subtables:
     @instrument("Subtables.compute_sumcheck_claim")
     def compute_sumcheck_claim(self, eq_table: jnp.ndarray) -> int:
         """sum_k eq[k] * g(E_1[k] .. E_alpha[k]) (reference: mod.rs:186-216)."""
-        vals = [self.lookup_stack[i] for i in range(self.strategy.num_memories)]
-        g = self.strategy.combine_lookups(vals, DeviceOps)  # [s, W]
-        total = JFr.sum(JFr.mul(g, eq_table))
+        total = _claim_kernel(
+            self.combined_poly.z, eq_table, self.strategy.comb_device(),
+            self.strategy.num_memories, self.s)
         return JFr.decode(total[None])[0]
 
     def evaluate_lookups_at(self, chis: jnp.ndarray) -> list[int]:
         """All E_i evaluated at a point given its eq table ([n, W])."""
-        prods = JFr.mul(self.lookup_stack, chis[None])
-        sums = JFr.sum(jnp.moveaxis(prods, 1, 0))  # [alpha, W]
+        sums = _weighted_evals_kernel(
+            self.combined_poly.z, chis, self.strategy.num_memories, self.s)
         return JFr.decode(sums)
 
     @instrument("Subtables.commit")

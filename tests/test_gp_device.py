@@ -62,3 +62,38 @@ def test_fused_gp_prefix_bit_identical(inputs):
     claims = circ.evaluate()
     out_claims, out_rand = arg_d.verify(claims, 256, ProofTranscript(b"gp"))
     assert out_rand == rand_d
+
+
+def test_gp_recompute_layers_bit_identical(inputs, monkeypatch):
+    """Layers recomputed from the leaves (GP_STORE_ELEMS budget exceeded)
+    must yield the exact argument the fully-stored tree yields."""
+    import lasso_tpu.subprotocols.grand_product as gp
+
+    def run():
+        circ = BatchedGrandProductCircuit(inputs)
+        tr = ProofTranscript(b"gp-store")
+        arg, rand = BatchedGrandProductArgument.prove(circ, tr)
+        post = tr.challenge_scalar(b"post")
+        return arg, rand, post
+
+    arg_a, rand_a, post_a = run()
+    # store nothing but the top: every host-loop layer is recomputed
+    monkeypatch.setattr(gp, "GP_STORE_ELEMS", 1)
+    arg_b, rand_b, post_b = run()
+
+    assert rand_b == rand_a
+    assert post_b == post_a
+    for la, lb in zip(arg_a.proof, arg_b.proof):
+        assert la.claims_prod_left == lb.claims_prod_left
+        assert la.claims_prod_right == lb.claims_prod_right
+        for a, b in zip(la.proof.compressed_polys, lb.proof.compressed_polys):
+            assert a.coeffs_except_linear_term == b.coeffs_except_linear_term
+
+
+def test_gp_release_frees_layers(inputs):
+    circ = BatchedGrandProductCircuit(inputs)
+    assert circ.num_layers == 8
+    roots = circ.evaluate()
+    assert len(roots) == 2
+    circ.release()
+    assert circ._stored == {} and circ._leaves is None
