@@ -339,6 +339,29 @@ def _device_rounds_arbitrary(state0, zs0, m0, comb, degree: int,
     return state, zs, coeffs_acc, r_acc
 
 
+@functools.partial(jax.jit, static_argnames=("comb", "degree", "entry_meta"))
+def _device_round_unmasked(state0, zs, comb, degree: int, entry_meta):
+    """One exact-shape sumcheck round with the transcript on device.
+
+    Rounds ABOVE the masked-buffer size chain these programs back to back:
+    the strobe state, round-poly coefficients and challenge stay on device,
+    so a 2^24-lookup sumcheck costs ONE host sync total instead of one per
+    unmasked round (each ~30ms on the tunneled backend).
+    Returns (state, bound zs [alpha, n/2, W], coeffs [degree+1, W], r [W])."""
+    from lasso_tpu.subprotocols.grand_product import _post_challenge_meta
+    from lasso_tpu.transcript.device_strobe import DeviceStrobe, DeviceTranscript
+
+    evals = _round_evals(zs, comb, degree)
+    coeffs = _interp_coeffs_device(evals, degree)
+    dt = DeviceTranscript(DeviceStrobe(state0, *entry_meta))
+    _append_round_poly_device(dt, coeffs, degree)
+    r = dt.challenge_scalar(b"challenge_nextround")
+    assert (dt.s.pos, dt.s.pos_begin, dt.s.cur_flags) == \
+        _post_challenge_meta(), "strobe round exit not canonical"
+    zs = _bind_top(zs, r)
+    return dt.state_tuple(), zs, coeffs, r
+
+
 @instrument("Sumcheck.prove")
 def prove_arbitrary(polys_stack, comb, degree: int, num_rounds: int, transcript):
     """Arbitrary-degree sumcheck prover over stacked tables [alpha, n, W].
@@ -350,47 +373,70 @@ def prove_arbitrary(polys_stack, comb, degree: int, num_rounds: int, transcript)
     compressed = []
     r_out: list[int] = []
     n = zs.shape[1]
+    use_device = _device_sumcheck_supported(transcript)
+
+    if use_device and num_rounds > 0:
+        # WHOLE sumcheck on device, one host sync: unmasked rounds chain
+        # exact-shape programs (state/coeffs/challenges never leave the
+        # device), then the masked remainder runs in one fused fori_loop.
+        from lasso_tpu.subprotocols.grand_product import _post_challenge_meta
+        from lasso_tpu.transcript.device_strobe import (DeviceStrobe,
+                                                        DeviceTranscript)
+
+        dt = DeviceTranscript.from_host(transcript)
+        meta = (dt.s.pos, dt.s.pos_begin, dt.s.cur_flags)
+        state = dt.s.state
+        d1 = degree + 1
+        chain: list[jnp.ndarray] = []  # per round: [d1 + 1, W]
+
+        round_idx = 0
+        while n > SUMCHECK_FIX and round_idx < num_rounds:
+            state, zs, coeffs, r = _device_round_unmasked(
+                state, zs, comb, degree, meta)
+            meta = _post_challenge_meta()
+            chain.append(jnp.concatenate([coeffs, r[None]], axis=0))
+            n //= 2
+            round_idx += 1
+
+        remaining = num_rounds - round_idx
+        if remaining:
+            zs = _pad_to_fix(zs, SUMCHECK_FIX)
+            state, zs, coeffs_acc, r_acc = _device_rounds_arbitrary(
+                state, zs, jnp.int32(n), comb, degree,
+                jnp.int32(remaining), meta)
+            n >>= remaining
+
+        alpha = zs.shape[0]
+        parts = chain + (
+            [coeffs_acc[:remaining].reshape(-1, W), r_acc[:remaining]]
+            if remaining else [])
+        parts.append(zs[:, 0])  # final evals ride the same transfer
+        flat = JFr.decode(jnp.concatenate(parts, axis=0))
+        # every path ends at the canonical post-challenge position
+        out = DeviceTranscript(DeviceStrobe(None, *_post_challenge_meta()))
+        out.restore_to_host(transcript, np.asarray(state))
+
+        off = 0
+        for _ in range(round_idx):  # chained unmasked rounds
+            compressed.append(UniPoly(flat[off: off + d1]).compress())
+            r_out.append(flat[off + d1])
+            off += d1 + 1
+        for k in range(remaining):  # fused masked rounds
+            compressed.append(
+                UniPoly(flat[off + k * d1: off + (k + 1) * d1]).compress())
+        off += remaining * d1
+        r_out.extend(flat[off: off + remaining])
+        final_evals = flat[off + remaining:]
+        assert len(final_evals) == alpha
+        return SumcheckInstanceProof(compressed), r_out, final_evals, \
+            zs[:, :max(n, 1)]
+
     masked = n <= SUMCHECK_FIX
     if masked:
         zs = _pad_to_fix(zs, SUMCHECK_FIX)
         m = jnp.int32(n)
-    use_device = _device_sumcheck_supported(transcript)
 
-    round_idx = 0
-    while round_idx < num_rounds:
-        # device fast path: once the instance is masked (n <= SUMCHECK_FIX),
-        # ALL remaining rounds run in one jitted fori_loop with the
-        # transcript on device -- round 0 included (the peel inside
-        # _device_rounds_arbitrary handles the call-site strobe position)
-        if use_device and masked:
-            remaining = num_rounds - round_idx
-            from lasso_tpu.transcript.device_strobe import (DeviceStrobe,
-                                                            DeviceTranscript)
-
-            dt = DeviceTranscript.from_host(transcript)
-            meta = (dt.s.pos, dt.s.pos_begin, dt.s.cur_flags)
-            state, zs, coeffs_acc, r_acc = _device_rounds_arbitrary(
-                dt.s.state, zs, m, comb, degree, jnp.int32(remaining), meta)
-            flat = JFr.decode(jnp.concatenate(
-                [coeffs_acc[:remaining].reshape(-1, W), r_acc[:remaining]],
-                axis=0))
-            d1 = degree + 1
-            coeffs_host = flat[: remaining * d1]
-            r_host = flat[remaining * d1:]
-            # the loop exits at the canonical post-challenge position (NOT
-            # the entry position -- round 0 is peeled from any call site)
-            from lasso_tpu.subprotocols.grand_product import \
-                _post_challenge_meta
-            out = DeviceTranscript(DeviceStrobe(None, *_post_challenge_meta()))
-            out.restore_to_host(transcript, np.asarray(state))
-            for k in range(remaining):
-                poly = UniPoly(coeffs_host[k * d1: (k + 1) * d1])
-                compressed.append(poly.compress())
-            r_out.extend(r_host)
-            n >>= remaining
-            round_idx = num_rounds
-            break
-
+    for _ in range(num_rounds):
         if masked:
             eval_limbs = _round_evals_masked(zs, m, comb, degree)
         else:
@@ -413,7 +459,6 @@ def prove_arbitrary(polys_stack, comb, degree: int, num_rounds: int, transcript)
                 zs = _pad_to_fix(zs, SUMCHECK_FIX)
                 m = jnp.int32(n)
         compressed.append(round_poly.compress())
-        round_idx += 1
 
     final_evals = JFr.decode(zs[:, 0])
     return SumcheckInstanceProof(compressed), r_out, final_evals, zs[:, :max(n, 1)]
@@ -496,26 +541,69 @@ def _bind_top_single_masked(z, m, r):
     return jnp.concatenate([bound, pad], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("strobe_meta",))
+def _horner3(coeffs, r):
+    """poly(r) for cubic Montgomery coeffs [4, W] at r [W]."""
+    e = coeffs[3]
+    for j in (2, 1, 0):
+        e = JFr.add(JFr.mul(e[None], r[None])[0], coeffs[j])
+    return e
+
+
+@functools.partial(jax.jit, static_argnames=("entry_meta",))
+def _device_round_cubic_unmasked(state0, a, b, c, e, rlc, entry_meta):
+    """One exact-shape cubic-batched round with the transcript on device.
+
+    Chained for the rounds ABOVE the masked-buffer size (the big grand-
+    product layers), so each layer's sumcheck costs one host sync instead of
+    one per wide round.  Returns (state, a, b, c, e, coeffs [4, W], r [W])."""
+    from lasso_tpu.subprotocols.grand_product import _post_challenge_meta
+    from lasso_tpu.transcript.device_strobe import DeviceStrobe, DeviceTranscript
+
+    ev = _cubic_round_evals(a, b, c)  # [3, I, W]
+
+    def rlc_combine(ev_t):
+        return JFr.finish_sum(JFr.sum_columns(JFr.mul(ev_t, rlc)))
+
+    comb0 = rlc_combine(ev[0])
+    evals4 = jnp.stack(
+        [comb0, JFr.sub(e, comb0), rlc_combine(ev[1]), rlc_combine(ev[2])])
+    coeffs = _interp_coeffs_device(evals4, 3)
+
+    dt = DeviceTranscript(DeviceStrobe(state0, *entry_meta))
+    _append_round_poly_device(dt, coeffs, 3)
+    r = dt.challenge_scalar(b"challenge_nextround")
+    assert (dt.s.pos, dt.s.pos_begin, dt.s.cur_flags) == \
+        _post_challenge_meta(), "strobe round exit not canonical"
+
+    a = _bind_top(a, r)
+    b = _bind_top(b, r)
+    c = _bind_top_single(c, r)
+    return dt.state_tuple(), a, b, c, _horner3(coeffs, r), coeffs, r
+
+
+@functools.partial(jax.jit, static_argnames=("entry_meta",))
 def _device_rounds_cubic(state0, a0, b0, c0, m0, e0, rlc, num_rounds,
-                         strobe_meta):
+                         entry_meta):
     """Masked cubic-batched rounds with the transcript on device.
 
     a0, b0: [I, FIX, W]; c0: [FIX, W]; e0: [W] running claim (Montgomery);
-    rlc: [I, W] Montgomery RLC coefficients; num_rounds TRACED.
+    rlc: [I, W] Montgomery RLC coefficients; num_rounds TRACED (>= 1).
+    entry_meta: static strobe position at entry -- round 0 is peeled with
+    the call-site position (the bullet-core peel pattern) and must exit at
+    the canonical post-challenge position, where all remaining rounds loop.
     Returns (state, a, b, c, coeffs_acc [MAX, 4, W], r_acc [MAX, W]).
     """
+    from lasso_tpu.subprotocols.grand_product import _post_challenge_meta
     from lasso_tpu.transcript.device_strobe import DeviceStrobe, DeviceTranscript
 
-    pos, pos_begin, cur_flags = strobe_meta
+    meta = _post_challenge_meta()
     coeffs_acc0 = jnp.zeros((MAX_DEVICE_ROUNDS, 4, W), jnp.uint32)
     r_acc0 = jnp.zeros((MAX_DEVICE_ROUNDS, W), jnp.uint32)
 
     def rlc_combine(ev_t):  # [I, W] -> [W]
         return JFr.finish_sum(JFr.sum_columns(JFr.mul(ev_t, rlc)))
 
-    def body(i, carry):
-        state, a, b, c, m, e, coeffs_acc, r_acc = carry
+    def round_step(mpos, state, a, b, c, m, e, coeffs_acc, r_acc, i):
         ev = _cubic_round_evals_masked(a, b, c, m)  # [3, I, W]
         comb0 = rlc_combine(ev[0])
         comb2 = rlc_combine(ev[1])
@@ -524,27 +612,32 @@ def _device_rounds_cubic(state0, a0, b0, c0, m0, e0, rlc, num_rounds,
         evals4 = jnp.stack([comb0, eval1, comb2, comb3])
         coeffs = _interp_coeffs_device(evals4, 3)
 
-        dt = DeviceTranscript(DeviceStrobe(state, pos, pos_begin, cur_flags))
+        dt = DeviceTranscript(DeviceStrobe(state, *mpos))
         _append_round_poly_device(dt, coeffs, 3)
         r = dt.challenge_scalar(b"challenge_nextround")
-        assert (dt.s.pos, dt.s.pos_begin, dt.s.cur_flags) == strobe_meta, \
+        assert (dt.s.pos, dt.s.pos_begin, dt.s.cur_flags) == meta, \
             "strobe trajectory not periodic; device loop invalid"
 
         a = _bind_top_masked(a, m, r)
         b = _bind_top_masked(b, m, r)
         c = _bind_top_single_masked(c, m, r)
-        # e = poly(r) via Horner on Montgomery coefficients
-        e_new = coeffs[3]
-        for j in (2, 1, 0):
-            e_new = JFr.add(JFr.mul(e_new[None], r[None])[0], coeffs[j])
         coeffs_acc = jax.lax.dynamic_update_slice(
             coeffs_acc, coeffs[None], (i, 0, 0))
         r_acc = jax.lax.dynamic_update_slice(r_acc, r[None], (i, 0))
-        return (dt.state_tuple(), a, b, c, m // 2, e_new, coeffs_acc, r_acc)
+        return (dt.state_tuple(), a, b, c, m // 2, _horner3(coeffs, r),
+                coeffs_acc, r_acc)
+
+    # peel round 0 with the call-site entry position
+    state, a, b, c, m, e, coeffs_acc, r_acc = round_step(
+        entry_meta, state0, a0, b0, c0, m0, e0, coeffs_acc0, r_acc0,
+        jnp.int32(0))
+
+    def body(i, carry):
+        state, a, b, c, m, e, coeffs_acc, r_acc = carry
+        return round_step(meta, state, a, b, c, m, e, coeffs_acc, r_acc, i)
 
     state, a, b, c, _, _, coeffs_acc, r_acc = jax.lax.fori_loop(
-        0, num_rounds, body,
-        (state0, a0, b0, c0, m0, e0, coeffs_acc0, r_acc0))
+        1, num_rounds, body, (state, a, b, c, m, e, coeffs_acc, r_acc))
     return state, a, b, c, coeffs_acc, r_acc
 
 
@@ -565,41 +658,76 @@ def prove_cubic_batched(claim: int, num_rounds: int, a_stack, b_stack, c_poly,
     num_instances = a.shape[0]
 
     n = a.shape[1]
+    use_device = _device_sumcheck_supported(transcript)
+
+    if use_device and num_rounds > 0:
+        # WHOLE layer sumcheck on device, one host sync: wide rounds chain
+        # exact-shape programs, the masked remainder runs in one fused
+        # fori_loop (round 0 peeled at the call-site strobe position), and
+        # the final claims ride the same transfer.
+        from lasso_tpu.subprotocols.grand_product import _post_challenge_meta
+        from lasso_tpu.transcript.device_strobe import (DeviceStrobe,
+                                                        DeviceTranscript)
+
+        dt = DeviceTranscript.from_host(transcript)
+        meta = (dt.s.pos, dt.s.pos_begin, dt.s.cur_flags)
+        state = dt.s.state
+        rlc = JFr.encode_ints(coeffs)
+        e_mont = JFr.encode_scalar(e)
+        chain: list[jnp.ndarray] = []  # per round: [5, W]
+
+        round_idx = 0
+        while n > SUMCHECK_FIX and round_idx < num_rounds:
+            state, a, b, c, e_mont, cfs, r = _device_round_cubic_unmasked(
+                state, a, b, c, e_mont, rlc, meta)
+            meta = _post_challenge_meta()
+            chain.append(jnp.concatenate([cfs, r[None]], axis=0))
+            n //= 2
+            round_idx += 1
+
+        remaining = num_rounds - round_idx
+        if remaining:
+            a = _pad_to_fix(a, SUMCHECK_FIX)
+            b = _pad_to_fix(b, SUMCHECK_FIX)
+            c = _pad_to_fix(c[None], SUMCHECK_FIX)[0]
+            state, a, b, c, coeffs_acc, r_acc = _device_rounds_cubic(
+                state, a, b, c, jnp.int32(n), e_mont, rlc,
+                jnp.int32(remaining), meta)
+
+        parts = chain + (
+            [coeffs_acc[:remaining].reshape(-1, W), r_acc[:remaining]]
+            if remaining else [])
+        parts += [a[:, 0], b[:, 0], c[0][None]]
+        flat = JFr.decode(jnp.concatenate(parts, axis=0))
+        out = DeviceTranscript(DeviceStrobe(None, *_post_challenge_meta()))
+        out.restore_to_host(transcript, np.asarray(state))
+
+        off = 0
+        for _ in range(round_idx):  # chained unmasked rounds
+            compressed.append(UniPoly(flat[off: off + 4]).compress())
+            r_out.append(flat[off + 4])
+            off += 5
+        for k in range(remaining):  # fused masked rounds
+            compressed.append(
+                UniPoly(flat[off + k * 4: off + (k + 1) * 4]).compress())
+        off += remaining * 4
+        r_out.extend(flat[off: off + remaining])
+        off += remaining
+        claims_a = flat[off: off + num_instances]
+        claims_b = flat[off + num_instances: off + 2 * num_instances]
+        claim_c = flat[off + 2 * num_instances]
+        return (SumcheckInstanceProof(compressed), r_out,
+                (claims_a, claims_b, claim_c))
+
     masked = n <= SUMCHECK_FIX
     if masked:
         a = _pad_to_fix(a, SUMCHECK_FIX)
         b = _pad_to_fix(b, SUMCHECK_FIX)
         c = _pad_to_fix(c[None], SUMCHECK_FIX)[0]
         m = jnp.int32(n)
-    use_device = _device_sumcheck_supported(transcript)
 
     round_idx = 0
     while round_idx < num_rounds:
-        if use_device and masked and round_idx >= 1:
-            remaining = num_rounds - round_idx
-            from lasso_tpu.transcript.device_strobe import (DeviceStrobe,
-                                                            DeviceTranscript)
-
-            dt = DeviceTranscript.from_host(transcript)
-            meta = (dt.s.pos, dt.s.pos_begin, dt.s.cur_flags)
-            rlc = JFr.encode_ints(coeffs)
-            state, a, b, c, coeffs_acc, r_acc = _device_rounds_cubic(
-                dt.s.state, a, b, c, m, JFr.encode_scalar(e), rlc,
-                jnp.int32(remaining), meta)
-            flat = JFr.decode(jnp.concatenate(
-                [coeffs_acc[:remaining].reshape(-1, W), r_acc[:remaining]],
-                axis=0))
-            coeffs_host = flat[: remaining * 4]
-            r_host = flat[remaining * 4:]
-            out = DeviceTranscript(DeviceStrobe(None, *meta))
-            out.restore_to_host(transcript, np.asarray(state))
-            for k in range(remaining):
-                poly = UniPoly(coeffs_host[k * 4: (k + 1) * 4])
-                compressed.append(poly.compress())
-            r_out.extend(r_host)
-            round_idx = num_rounds
-            break
-
         if masked:
             evals_limbs = _cubic_round_evals_masked(a, b, c, m)
         else:
