@@ -109,3 +109,31 @@ def test_msm_medium_mixed():
     for i in range(0, n, 5):
         scalars[i] = 0
     _check_msm(n, scalars)
+
+
+def test_msm_batch_column_chunked_matches_unchunked(monkeypatch):
+    """Column-chunked batched row MSM (partial-point tree add) must equal the
+    single-kernel result exactly (Pippenger is additive over partitions)."""
+    import numpy as np
+
+    import lasso_tpu.ops.msm as msm_mod
+    from lasso_tpu.curve.host import GENERATOR
+    from lasso_tpu.curve.jcurve import from_host_points, to_host_points
+    from lasso_tpu.field.jfield import JFr
+
+    n, rows = 32, 3
+    pts = from_host_points([GENERATOR.mul(i + 1) for i in range(n)])
+    rng = np.random.default_rng(9)
+    sc = JFr.encode_u64_array(
+        rng.integers(0, 1 << 20, size=(rows, n)).astype(np.uint64))
+
+    # keep everything on the device kernel path (no host fallback)
+    monkeypatch.setattr(msm_mod, "MSM_HOST_MAX", 0)
+    base = msm_mod.msm_batch_device(pts, sc)
+    monkeypatch.setattr(msm_mod, "MSM_BATCH_COL_MAX", 8)
+    chunked = msm_mod.msm_batch_device(pts, sc)
+
+    import jax.numpy as jnp
+    a = to_host_points(jnp.moveaxis(base[..., 0], 0, -1))
+    b = to_host_points(jnp.moveaxis(chunked[..., 0], 0, -1))
+    assert a == b
