@@ -111,9 +111,11 @@ class SparsePolynomialEvaluationProof:
         stack = _stack_with_eq(
             subtables.combined_poly.z, eq_table,
             strategy.num_memories, dense.s)
+        del eq_table  # s-sized; dead weight for the rest of the prove
         sc_proof, r_z, _final_evals, _ = prove_arbitrary(
             stack, strategy.comb_eq_device(), strategy.sumcheck_poly_degree(),
             _log2(dense.s), transcript)
+        del stack  # the prover binds its own copies; free the s-cube input
 
         chis_z = eq_evals_device([JFr.encode_scalar(x) for x in r_z])
         eval_derefs = subtables.evaluate_lookups_at(chis_z)
