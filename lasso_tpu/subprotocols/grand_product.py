@@ -358,9 +358,7 @@ class BatchedGrandProductArgument:
             start = prefix
 
         for layer_id in range(num_layers - 1 - start, -1, -1):
-            a = circuits.left_layers[layer_id]
-            b = circuits.right_layers[layer_id]
-            layer_len = a.shape[1]
+            layer_len = 1 << (num_layers - 1 - layer_id)  # width per side
             eq_poly = eq_evals_device([JFr.encode_scalar(x) for x in rand])
             assert eq_poly.shape[0] == layer_len
             num_rounds = (layer_len - 1).bit_length()
@@ -369,8 +367,14 @@ class BatchedGrandProductArgument:
                 b"rand_coeffs_next_layer", len(claims_to_verify))
             claim = sum(c * v for c, v in zip(coeffs, claims_to_verify)) % Fr.p
 
+            # the left/right slices are passed inline so only the callee
+            # holds them -- the prover frees its copy the moment round 0
+            # binds, which matters at s-cube layer sizes
             proof, rand_prod, (claims_left, claims_right, _claim_eq) = \
-                prove_cubic_batched(claim, num_rounds, a, b, eq_poly, coeffs, transcript)
+                prove_cubic_batched(
+                    claim, num_rounds, circuits.left_layers[layer_id],
+                    circuits.right_layers[layer_id], eq_poly, coeffs,
+                    transcript)
 
             for cl, cr in zip(claims_left, claims_right):
                 transcript.append_scalar(b"claim_prod_left", cl)

@@ -653,6 +653,9 @@ def prove_cubic_batched(claim: int, num_rounds: int, a_stack, b_stack, c_poly,
     """
     e = claim % Fr.p
     a, b, c = a_stack, b_stack, c_poly
+    # drop the parameter refs: once round 0 rebinds a/b/c the inputs free,
+    # even while the caller-side expressions were s-cube-sized slices
+    del a_stack, b_stack, c_poly
     compressed = []
     r_out: list[int] = []
     num_instances = a.shape[0]
