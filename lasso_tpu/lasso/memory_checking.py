@@ -13,6 +13,7 @@ s-cube, init/final over the M-cube).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -45,19 +46,25 @@ def _interleave(x, y):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dim_of", "sub_of", "c", "s", "m"))
+                   static_argnames=("dim_of", "sub_of", "c", "s", "m", "half"))
 def _rw_leaves_kernel(flat_l, flat_e, table_vals, g, g2, t,
-                      dim_of: tuple, sub_of: tuple, c: int, s: int, m: int):
+                      dim_of: tuple, sub_of: tuple, c: int, s: int, m: int,
+                      half=None):
     """Read/write fingerprint leaves [2*alpha, s, W] from the flat merged
     polynomials -- ONE program, so the per-memory dim/read/value stacks are
-    fusion temporaries instead of resident [alpha, s, W] copies."""
+    fusion temporaries instead of resident [alpha, s, W] copies.
+
+    `half` = 0/1 computes only the left/right column half directly (the
+    grand-product layer-0 slices), with no full-width intermediate."""
     alpha = len(dim_of)
-    dim = flat_l[: c * s].reshape(c, s, W)
-    read = flat_l[c * s: 2 * c * s].reshape(c, s, W)
+    lo, hi = {None: (0, s), 0: (0, s // 2), 1: (s // 2, s)}[half]
+    w = hi - lo
+    dim = flat_l[: c * s].reshape(c, s, W)[:, lo:hi]
+    read = flat_l[c * s: 2 * c * s].reshape(c, s, W)[:, lo:hi]
     dim_stack = jnp.stack([dim[d] for d in dim_of])
     read_stack = jnp.stack([read[d] for d in dim_of])
-    v_ops = flat_e[: alpha * s].reshape(alpha, s, W)
-    one = JFr.ones(s)
+    v_ops = flat_e[: alpha * s].reshape(alpha, s, W)[:, lo:hi]
+    one = JFr.ones(w)
     read_f = _fingerprint(dim_stack, v_ops, read_stack, g, g2, t)
     write_f = _fingerprint(dim_stack, v_ops, JFr.add(read_stack, one[None]),
                            g, g2, t)
@@ -99,14 +106,30 @@ def build_grand_product_batches(dense, subtables, r_mem_check):
 
     addr = JFr.encode_u64_array(np.arange(m, dtype=np.uint64))  # [M, W]
 
-    rw_leaves = _rw_leaves_kernel(
-        dense.combined_l_variate_polys.z, subtables.combined_poly.z,
-        subtables.table_vals, g, g2, t, dim_of, sub_of, dense.c, dense.s, m)
+    # the rw leaves are derived data (one fused gather+mul over the resident
+    # merged polynomials).  At large scale they are the single biggest tensor
+    # in the memory check ([2*alpha, s, W]; 2 GiB at C=1, s=2^24), so past a
+    # size threshold the circuit recomputes them (by half, for the widest
+    # layer's slices) on demand instead of keeping them resident.  Below the
+    # threshold residency is cheaper than recompute (and avoids compiling the
+    # extra half-width kernels at all).
+    def rw_leaves(half=None):
+        return _rw_leaves_kernel(
+            dense.combined_l_variate_polys.z, subtables.combined_poly.z,
+            subtables.table_vals, g, g2, t, dim_of, sub_of, dense.c,
+            dense.s, m, half)
+
     if_leaves = _if_leaves_kernel(
         dense.combined_log_m_variate_polys.z, subtables.table_vals, addr,
         g, g2, t, dim_of, sub_of, dense.c, m)
 
-    rw = BatchedGrandProductCircuit(rw_leaves)
+    recompute_min = int(os.environ.get("LASSO_TPU_GP_RECOMPUTE_MIN",
+                                       str(1 << 23)))
+    if 2 * alpha * dense.s >= recompute_min:
+        rw = BatchedGrandProductCircuit(
+            leaves_fn=rw_leaves, shape=(2 * alpha, dense.s))
+    else:
+        rw = BatchedGrandProductCircuit(rw_leaves(None))
     inf = BatchedGrandProductCircuit(if_leaves)
     return rw, inf
 
@@ -221,6 +244,7 @@ class HashLayerProof:
             eval_dim, eval_read = dim_read_evals[:c], dim_read_evals[c:]
             eval_final = JFr.decode(_weighted_evals_kernel(
                 dense.combined_log_m_variate_polys.z, chis_mem, c, dense.m))
+            del chis_ops, chis_mem  # s/M-sized; openings re-derive on host
 
         with span("HashLayer.fold_ops"):
             evals_ops = eval_dim + eval_read

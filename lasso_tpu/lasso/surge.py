@@ -119,6 +119,7 @@ class SparsePolynomialEvaluationProof:
 
         chis_z = eq_evals_device([JFr.encode_scalar(x) for x in r_z])
         eval_derefs = subtables.evaluate_lookups_at(chis_z)
+        del chis_z  # s-sized; the opening proof re-derives what it needs
         proof_derefs = CombinedTableEvalProof.prove(
             subtables.combined_poly, eval_derefs, r_z, gens.gens_derefs,
             transcript, random_tape)

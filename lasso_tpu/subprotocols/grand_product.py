@@ -71,9 +71,7 @@ class _HalfView:
         return self._circuit.num_layers
 
     def __getitem__(self, i: int) -> jnp.ndarray:
-        vals = self._circuit.layer(i)
-        half = vals.shape[1] // 2
-        return vals[:, :half] if self._side == 0 else vals[:, half:]
+        return self._circuit.layer_half(i, self._side)
 
 
 class BatchedGrandProductCircuit:
@@ -86,15 +84,26 @@ class BatchedGrandProductCircuit:
     the ~3n of a fully materialized left+right tree.
     """
 
-    def __init__(self, inputs: jnp.ndarray):
-        assert inputs.ndim == 3
-        num_instances, n, _ = inputs.shape
+    def __init__(self, inputs: jnp.ndarray = None, leaves_fn=None,
+                 shape: tuple = None):
+        """Either hold `inputs` [I, n, W] as the leaves, or -- when the
+        leaves are cheaply derivable from data that stays resident anyway
+        (the fingerprint case) -- pass `leaves_fn(half)` + `shape=(I, n)`:
+        `leaves_fn(None)` returns the full leaves, `leaves_fn(0|1)` just the
+        left/right half directly.  The leaves then never stay resident
+        (s-cube leaves are the largest tensor in the whole memory check)."""
+        if leaves_fn is None:
+            assert inputs.ndim == 3
+            num_instances, n = inputs.shape[0], inputs.shape[1]
+        else:
+            num_instances, n = shape
         assert n & (n - 1) == 0 and n >= 2
         self.num_instances = num_instances
         self._num_layers = (n - 1).bit_length()
         self._leaves = inputs
+        self._leaves_fn = leaves_fn
         self._stored: dict[int, jnp.ndarray] = {}
-        cur = inputs
+        cur = inputs if leaves_fn is None else leaves_fn(None)
         t = 0
         while cur.shape[1] > 2:
             cur = _layer_product(cur)
@@ -108,14 +117,27 @@ class BatchedGrandProductCircuit:
     def layer(self, t: int) -> jnp.ndarray:
         """Layer t values [I, n / 2^t, W] (recomputed if not resident)."""
         if t == 0:
-            return self._leaves
+            return (self._leaves if self._leaves_fn is None
+                    else self._leaves_fn(None))
         got = self._stored.get(t)
         if got is not None:
             return got
-        cur = self._leaves
+        cur = self.layer(0)
         for _ in range(t):
             cur = _layer_product(cur)
         return cur
+
+    def layer_half(self, t: int, side: int) -> jnp.ndarray:
+        """Left (side=0) / right (side=1) half of layer t.
+
+        For recomputable leaves the half is produced DIRECTLY by
+        `leaves_fn(side)` -- no full-width intermediate, which is what keeps
+        the widest grand-product layer's sumcheck inside HBM at s=2^24."""
+        if t == 0 and self._leaves_fn is not None:
+            return self._leaves_fn(side)
+        vals = self.layer(t)
+        half = vals.shape[1] // 2
+        return vals[:, :half] if side == 0 else vals[:, half:]
 
     @property
     def left_layers(self) -> _HalfView:
@@ -132,6 +154,7 @@ class BatchedGrandProductCircuit:
     def release(self) -> None:
         """Drop all layer tensors (free HBM once the argument is done)."""
         self._leaves = None
+        self._leaves_fn = None
         self._stored = {}
 
     def evaluate(self) -> list[int]:

@@ -90,6 +90,33 @@ def test_gp_recompute_layers_bit_identical(inputs, monkeypatch):
             assert a.coeffs_except_linear_term == b.coeffs_except_linear_term
 
 
+def test_gp_leaves_fn_bit_identical(inputs):
+    """A circuit whose leaves are recomputed on demand (leaves_fn, incl. the
+    direct left/right-half layer-0 path used by the widest sumcheck) must
+    yield the exact argument of a circuit holding the leaves resident."""
+    def run(circ):
+        tr = ProofTranscript(b"gp-fn")
+        arg, rand = BatchedGrandProductArgument.prove(circ, tr)
+        post = tr.challenge_scalar(b"post")
+        return arg, rand, post
+
+    def leaves_fn(half=None):
+        lo, hi = {None: (0, 256), 0: (0, 128), 1: (128, 256)}[half]
+        return inputs[:, lo:hi]
+
+    arg_a, rand_a, post_a = run(BatchedGrandProductCircuit(inputs))
+    arg_b, rand_b, post_b = run(
+        BatchedGrandProductCircuit(leaves_fn=leaves_fn, shape=(2, 256)))
+
+    assert rand_b == rand_a
+    assert post_b == post_a
+    for la, lb in zip(arg_a.proof, arg_b.proof):
+        assert la.claims_prod_left == lb.claims_prod_left
+        assert la.claims_prod_right == lb.claims_prod_right
+        for a, b in zip(la.proof.compressed_polys, lb.proof.compressed_polys):
+            assert a.coeffs_except_linear_term == b.coeffs_except_linear_term
+
+
 def test_gp_release_frees_layers(inputs):
     circ = BatchedGrandProductCircuit(inputs)
     assert circ.num_layers == 8
