@@ -127,7 +127,10 @@ class PolyEvalProof:
         else:
             from lasso_tpu.curve.jcurve import from_host_points
             c_dev = from_host_points(comm.C)
-            c_lz = to_host_point(msm_device(c_dev, JFr.encode_ints(l_ints)))
+            # eq evals are field-width: skip the small-scalar width scan
+            # (it always bails to full width after one wasted sync here)
+            c_lz = to_host_point(
+                msm_device(c_dev, JFr.encode_ints(l_ints), full_width=True))
 
         self.proof.verify(len(r_ints), gens.gens, transcript, r_ints, c_lz, c_zr)
 

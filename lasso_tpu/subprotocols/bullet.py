@@ -388,8 +388,11 @@ class BulletReductionProof:
         return u_sq, u_inv_sq, s
 
     def verify(self, n: int, a: list[int], transcript, gamma: hostcurve.Point,
-               g_host: list[hostcurve.Point]):
-        """Returns (g_hat, gamma_hat, a_hat). g_host: basis points (host).
+               g_host: list[hostcurve.Point], gens_n=None):
+        """Returns (g_hat, gamma_hat, a_hat). g_host: basis points (host);
+        gens_n: the MultiCommitGens the basis came from, if available -- its
+        cached device bases avoid a per-verify host->device conversion of n
+        points on the device path.
 
         All verifier MSMs here are latency-bound (n is the sqrt-size Hyrax
         row extent, the L/R combination is 2 log n + 1 points): they run on
@@ -401,8 +404,16 @@ class BulletReductionProof:
             g_hat = hostcurve.msm_host(g_host, s)
         else:
             from lasso_tpu.curve.jcurve import from_host_points
+            if gens_n is not None and len(gens_n.G) >= n:
+                from lasso_tpu.subprotocols.dot_product import _gens_device
+                bases = _gens_device(gens_n)[..., :n]
+            else:
+                bases = from_host_points(g_host)
+            # s entries are products of squared challenges: always
+            # field-width, so skip the small-scalar width scan (one wasted
+            # device->host sync per verify otherwise)
             g_hat = to_host_point(
-                msm_device(from_host_points(g_host), JFr.encode_ints(s)))
+                msm_device(bases, JFr.encode_ints(s), full_width=True))
         a_hat = sum(x * y for x, y in zip(a, s)) % Fr.p
 
         gamma_hat = hostcurve.msm_host(

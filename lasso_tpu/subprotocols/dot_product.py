@@ -299,7 +299,8 @@ class DotProductProofLog:
 
         gamma = cx.add(cy)
         g_hat, gamma_hat, a_hat = self.bullet_reduction_proof.verify(
-            n, a, transcript, gamma, gens.gens_n.G[: gens.n])
+            n, a, transcript, gamma, gens.gens_n.G[: gens.n],
+            gens_n=gens.gens_n)
 
         transcript.append_point(b"delta", self.delta)
         transcript.append_point(b"beta", self.beta)
