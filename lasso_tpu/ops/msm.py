@@ -125,6 +125,139 @@ def _segmented_sum_sorted(points, ids, num_buckets: int):
     return buckets
 
 
+def _halving_tree_sum(points):
+    """Sum along the last axis by contiguous halving: [..., m] -> [..., 1].
+
+    Unlike curve.jcurve.tree_sum (fixed-shape fori_loop body, log(m) FULL-m
+    rounds -- compile-once but O(m log m) curve-add work), this unrolls
+    log(m) shrinking pallas adds: O(m) total work.  The shrinking shapes are
+    shared across call sites, so the compile-count cost is one padd program
+    per power of two."""
+    m = points.shape[-1]
+    if m == 0:
+        return identity(1, points.shape[:-3])
+    pow2 = 1 << (m - 1).bit_length()
+    if pow2 != m:
+        points = jnp.concatenate(
+            [points, identity(pow2 - m, points.shape[:-3])], axis=-1)
+        m = pow2
+    while m > 1:
+        points = padd(points[..., : m // 2], points[..., m // 2:])
+        m //= 2
+    return points
+
+
+def _segmented_sum_merge(points, ids, num_buckets: int):
+    """Work-efficient segmented reduction of sorted runs (replaces the
+    Hillis-Steele scan): pair-merge tree with conflict-free run emission.
+
+    points [4,W,n] sorted by ids [n]; returns per-bucket sums
+    [4,W,num_buckets+1] (last slot = sentinel, to be dropped).
+
+    Each tree level merges adjacent blocks, spending ONE curve add per
+    merge (the join of L's trailing run with R's leading run) -- n adds
+    total versus the scan's rounds*n, and the curve adds are the measured
+    bottleneck (~29M adds/s on v5e; the scan's rolls/selects are noise
+    next to them).  A run is scatter-emitted into its bucket at the unique
+    level where it stops touching a block edge, so the scatter is
+    conflict-free by construction (each bucket id is one contiguous run).
+    Regrouped addition order changes intermediate projective
+    representatives but not the bucket group elements: canonical affine
+    outputs (and proof bytes) are identical.
+    """
+    n = points.shape[-1]
+    lead = points.shape[:-3]
+    if n == 1:
+        return identity(num_buckets + 1, lead).at[..., ids].set(points)
+    pow2 = 1 << (n - 1).bit_length()
+    if pow2 != n:
+        # pad with identity points in the sentinel bucket (stays sorted:
+        # the sentinel id is the largest id)
+        points = jnp.concatenate(
+            [points, identity(pow2 - n, lead)], axis=-1)
+        ids = jnp.concatenate(
+            [ids, jnp.full(ids.shape[:-1] + (pow2 - n,), num_buckets,
+                           ids.dtype)], axis=-1)
+        n = pow2
+    assert n >= 2
+    buckets = identity(num_buckets + 1, lead)
+
+    def halve_pts(x):
+        m = x.shape[-1]
+        xr = x.reshape(x.shape[:-1] + (m // 2, 2))
+        return xr[..., 0], xr[..., 1]
+
+    def halve_flat(x):
+        xr = x.reshape(x.shape[:-1] + (x.shape[-1] // 2, 2))
+        return xr[..., 0], xr[..., 1]
+
+    pre, suf = points, points
+    pre_id, suf_id = ids, ids
+    single = jnp.ones(ids.shape, bool)
+
+    m = n
+    while m > 1:
+        pre_l, pre_r = halve_pts(pre)
+        suf_l, suf_r = halve_pts(suf)
+        pid_l, pid_r = halve_flat(pre_id)
+        sid_l, sid_r = halve_flat(suf_id)
+        sg_l, sg_r = halve_flat(single)
+
+        join = sid_l == pid_r
+        mid = padd(suf_l, pre_r)  # the ONE curve add of this level
+
+        # L's trailing run completes here unless it reaches L's left edge
+        # (then it is the block's pre and survives upward); joined middles
+        # complete when interior on both sides
+        emit_l = (~sg_l) & (~join | ~sg_r)
+        idx_l = jnp.where(emit_l, sid_l, num_buckets)
+        buckets = buckets.at[..., idx_l].set(pselect(join, mid, suf_l))
+        # R's leading run completes when interior and not joined
+        emit_r = (~join) & (~sg_r)
+        idx_r = jnp.where(emit_r, pid_r, num_buckets)
+        buckets = buckets.at[..., idx_r].set(pre_r)
+
+        pre = pselect(sg_l & join, mid, pre_l)
+        suf = pselect(sg_r & join, mid, suf_r)
+        pre_id, suf_id = pid_l, sid_r
+        single = sg_l & sg_r & join
+        m //= 2
+
+    # the last block: leading run always emits; trailing too unless single
+    buckets = buckets.at[..., pre_id].set(pre)
+    idx = jnp.where(single, num_buckets, suf_id)
+    buckets = buckets.at[..., idx].set(suf)
+    return buckets
+
+
+def _bucket_weighted_sum_merge(buckets):
+    """sum_b (b+1) * buckets[b] by pair-merge recurrence ([4, W, B]).
+
+    T(X over m buckets) = 2*T(even+odd over m/2) - sum(evens): unrolled,
+    ~2B curve adds + log B doublings, versus the suffix scan's B log B.
+    """
+    b = buckets.shape[-1]
+    if b == 1:
+        return buckets
+    pow2 = 1 << (b - 1).bit_length()
+    if pow2 != b:
+        # identity-pad at the top: padded slots contribute nothing at any
+        # weight
+        buckets = jnp.concatenate(
+            [buckets, identity(pow2 - b, buckets.shape[:-3])], axis=-1)
+    x = buckets
+    even_sums = []
+    while x.shape[-1] > 1:
+        evens, odds = x.reshape(x.shape[:-1] + (x.shape[-1] // 2, 2))[
+            ..., 0], x.reshape(x.shape[:-1] + (x.shape[-1] // 2, 2))[..., 1]
+        even_sums.append(_halving_tree_sum(evens))
+        x = padd(evens, odds)
+    acc = x  # width 1: its weight is 1
+    for s_even in reversed(even_sums):
+        acc = padd(pdbl(acc), pneg(s_even))
+    return acc
+
+
 def _bucket_weighted_sum(buckets):
     """sum_b (b+1) * buckets[b] via suffix scan + tree sum ([4, W, B]).
 
@@ -150,6 +283,19 @@ def _bucket_weighted_sum(buckets):
     return tree_sum(x)
 
 
+# Bucket reduction strategy: "merge" = work-efficient pair-merge tree
+# (~n curve adds; default), "scan" = the round-1 segmented Hillis-Steele
+# scan (rounds*n adds; kept as the parity oracle).  Read at import time;
+# tests exercise both implementations directly.
+MSM_REDUCE = os.environ.get("LASSO_TPU_MSM_REDUCE", "merge")
+
+
+def _reduce_fns():
+    if MSM_REDUCE == "scan":
+        return _segmented_sum_sorted, _bucket_weighted_sum
+    return _segmented_sum_merge, _bucket_weighted_sum_merge
+
+
 @functools.partial(jax.jit, static_argnames=("c", "num_windows"))
 def _msm_kernel(points, scalars, c: int, num_windows: int):
     """points [4,W,n] (extended, Montgomery limbs); scalars [n,W] canonical
@@ -169,9 +315,10 @@ def _msm_kernel(points, scalars, c: int, num_windows: int):
         sorted_pm.reshape(num_windows, n, 4 * W), (0, 2, 1)
     ).reshape(num_windows, 4, W, n)
 
+    seg_sum, weighted = _reduce_fns()
     window_sums = jax.vmap(
-        lambda p, i: _bucket_weighted_sum(
-            _segmented_sum_sorted(p, i, num_buckets)[..., :num_buckets]
+        lambda p, i: weighted(
+            seg_sum(p, i, num_buckets)[..., :num_buckets]
         )
     )(sorted_pts, sorted_ids)  # [k, 4, W, 1]
 
@@ -268,9 +415,9 @@ def _msm_kernel_flat(pd_points, scalars, c: int, num_windows: int):
     pts_pm = pd_points.reshape(4 * W, kn).T  # [k*n, 64] point-major rows
     sorted_pts = jnp.transpose(jnp.take(pts_pm, order, axis=0)).reshape(
         4, W, kn)
-    buckets = _segmented_sum_sorted(
-        sorted_pts, sorted_ids, num_buckets)[..., :num_buckets]
-    return _bucket_weighted_sum(buckets)
+    seg_sum, weighted = _reduce_fns()
+    buckets = seg_sum(sorted_pts, sorted_ids, num_buckets)[..., :num_buckets]
+    return weighted(buckets)
 
 
 _msm_kernel_flat_batch = jax.jit(

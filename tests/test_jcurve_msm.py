@@ -137,3 +137,28 @@ def test_msm_batch_column_chunked_matches_unchunked(monkeypatch):
     a = to_host_points(jnp.moveaxis(base[..., 0], 0, -1))
     b = to_host_points(jnp.moveaxis(chunked[..., 0], 0, -1))
     assert a == b
+
+
+def test_segmented_merge_matches_scan():
+    """The work-efficient pair-merge bucket reduction must produce the same
+    bucket group elements as the Hillis-Steele scan oracle (regrouped
+    addition: same group elements, different projective representatives)."""
+    rng = random.Random(21)
+    for n, nb in [(16, 4), (32, 8), (33, 8), (64, 5)]:
+        ids_list = sorted(rng.randrange(nb + 1) for _ in range(n))
+        pts = _rand_points(n)
+        dev = jcurve.from_host_points(pts)
+        ids = jnp.asarray(ids_list, dtype=jnp.int32)
+        a = jmsm._segmented_sum_sorted(dev, ids, nb)[..., :nb]
+        b = jmsm._segmented_sum_merge(dev, ids, nb)[..., :nb]
+        assert jcurve.to_host_points(a) == jcurve.to_host_points(b), (n, nb)
+
+
+def test_weighted_sum_merge_matches_suffix():
+    rng = random.Random(22)
+    for nb in (1, 4, 7, 8, 13):
+        pts = _rand_points(nb)
+        dev = jcurve.from_host_points(pts)
+        a = jcurve.to_host_point(jmsm._bucket_weighted_sum(dev))
+        b = jcurve.to_host_point(jmsm._bucket_weighted_sum_merge(dev))
+        assert a == b, nb
