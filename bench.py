@@ -8,10 +8,20 @@ this repo's own native C++ host Pippenger (lasso_tpu/native/host_crypto.cpp,
 the same fat-window plan) run in-process on the bench host: a single-core
 floor for the reference's CPU MSM (reference: src/msm/mod.rs:96-116; its
 rayon build would be ~(cores)x this floor on a multicore box — scale
-accordingly when comparing against multicore CPU numbers)."""
+accordingly when comparing against multicore CPU numbers).
+
+Structure (round-5 hardening, after the round-4 bench timed out leaving NO
+parsed artifact): the measurement runs in a CHILD process under a wall-clock
+budget; if the child cannot finish (e.g. a pathological XLA compile), the
+parent retries with a 1-iteration chained program (the persistent compile
+cache makes the retry cheap if the kernel itself compiled), and as a last
+resort prints the measured native host floor — so a timeout still yields a
+parsed JSON line.
+"""
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -19,11 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _timed(fn):
-    import time as _time
-
-    t0 = _time.perf_counter()
+    t0 = time.perf_counter()
     fn()
-    return _time.perf_counter() - t0
+    return time.perf_counter() - t0
 
 
 def _host_floor_pps(scalar_bits: int = 16) -> float:
@@ -43,7 +51,7 @@ def _host_floor_pps(scalar_bits: int = 16) -> float:
     return n / dt
 
 
-def main():
+def child_main():
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -72,6 +80,11 @@ def main():
     c = window_size(n)
     num_windows = (scalar_bits + c) // c
 
+    # compile + persist the core kernel FIRST: if the chained program below
+    # blows the budget, the retry with iters=1 hits this cache entry
+    out = _msm_kernel(points, scalars_int, c=c, num_windows=num_windows)
+    assert to_host_point(out).is_on_curve()
+
     # NB: on the tunneled TPU backend, block_until_ready returns before the
     # device finishes -- the only reliable sync is a host transfer.  Chain
     # `iters` kernel invocations inside one jit (perturbing the scalars so
@@ -99,10 +112,6 @@ def main():
         for _ in range(2))
     dt = max(dt_total - t_base, 1e-9) / iters
 
-    # sanity: the proof-grade result decodes to a valid curve point
-    out = _msm_kernel(points, scalars_int, c=c, num_windows=num_windows)
-    assert to_host_point(out).is_on_curve()
-
     pps = n / dt
     baseline_pps = _host_floor_pps(scalar_bits)
     print(json.dumps({
@@ -113,6 +122,50 @@ def main():
         # on the bench host (the reference's CPU floor), NOT an estimate
         "vs_baseline": round(pps / baseline_pps, 3),
     }))
+
+
+def _run_child(extra_env: dict, budget: float) -> dict | None:
+    env = dict(os.environ)
+    env["LASSO_BENCH_CHILD"] = "1"
+    env.update(extra_env)
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=budget)
+    except subprocess.TimeoutExpired:
+        return None
+    for line in reversed(res.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def main():
+    if os.environ.get("LASSO_BENCH_CHILD"):
+        child_main()
+        return
+    budget = float(os.environ.get("LASSO_BENCH_BUDGET", "420"))
+    result = _run_child({}, budget)
+    if result is None:
+        # retry with a 1-iteration chained program: tiny wrapper compile,
+        # and the core kernel compile (persisted by the first child if it
+        # got that far) is reused from the cache
+        result = _run_child({"LASSO_BENCH_ITERS": "1"}, budget / 2)
+    if result is None:
+        # last resort: the measured native single-core host floor, flagged
+        # as such in the metric name (vs_baseline 1.0 by construction)
+        pps = _host_floor_pps()
+        result = {
+            "metric": "msm_points_per_sec_hostfloor_fallback",
+            "value": round(pps, 1),
+            "unit": "points/s",
+            "vs_baseline": 1.0,
+        }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -31,11 +31,27 @@ else:
             try:
                 with open("/proc/cpuinfo") as _f:
                     _flags = [ln for ln in _f if ln.startswith("flags")][:1]
-                _tag = hashlib.sha256(
-                    "".join(_flags).encode()).hexdigest()[:12]
             except OSError:
-                _tag = "unknown"
+                _flags = ["unknown"]
+            # XLA:CPU AOT entries also embed tuning pseudo-features
+            # (+prefer-no-gather etc.) that vary with XLA_FLAGS and the XLA
+            # build — entries written under a different flag set or jax
+            # version "cross-load" with E-level machine-type-mismatch errors
+            # (MULTICHIP_r04 tail).  Key the namespace by the FULL config
+            # fingerprint so each configuration gets its own namespace.
+            _fp = "|".join(["".join(_flags), os.environ.get("XLA_FLAGS", ""),
+                            jax.__version__])
+            _tag = hashlib.sha256(_fp.encode()).hexdigest()[:12]
             _cache_dir = os.path.join(_cache_dir, _tag)
+            # An additional caller-supplied tag fully isolates a namespace:
+            # the driver dryrun (__graft_entry__) uses this so it only ever
+            # loads entries its own configuration wrote -- entries written
+            # by other CPU processes (pytest under load) have been observed
+            # to carry mismatched AOT tuning features (+prefer-no-gather)
+            # that the loader reports as E-level machine-type errors.
+            _extra = os.environ.get("LASSO_TPU_XLA_CACHE_TAG")
+            if _extra:
+                _cache_dir = os.path.join(_cache_dir, _extra)
 
 if _cache_dir is not None:
     # jax's LRUCache.put writes entries with a bare write_bytes -- NOT

@@ -258,6 +258,125 @@ def _bucket_weighted_sum_merge(buckets):
     return acc
 
 
+def _segmented_sum_blocked(points, ids, num_buckets: int, block: int = 64):
+    """Work-efficient segmented reduction with a COMPILE-ONCE body.
+
+    points [4,W,n] sorted by ids [n]; returns per-bucket sums
+    [4,W,num_buckets+1] (last slot = sentinel, to be dropped).
+
+    The array is viewed as G = n/block chunks of `block` consecutive
+    elements.  A fori_loop walks the block axis once with ALL chunks in
+    parallel (ONE padd per step at vector width G -> n curve adds total,
+    like the pair-merge tree, but in a single fixed-shape loop body
+    instead of ~log(n) unrolled shrinking subgraphs -- the merge tree's
+    XLA/Mosaic compile blowup is what timed out the round-4 bench):
+
+      * runs strictly INTERIOR to a chunk finish inside the loop and are
+        scatter-emitted at the step where their id changes -- conflict-free
+        (a bucket is one contiguous run, so it is interior to at most one
+        chunk and emitted exactly once);
+      * each chunk's LEADING and TRAILING partial runs (the only ones that
+        can span chunks) go to a 2G-entry boundary array, still sorted by
+        id, which the Hillis-Steele scan oracle reduces in
+        ~log(max chunks spanned) cheap rounds.
+
+    A bucket lands in exactly one of the two arrays (interior emissions
+    vs boundary runs), so combining them is one exact B-wide padd of
+    identity-padded slots.
+    """
+    n = points.shape[-1]
+    if n <= 2 * block:
+        return _segmented_sum_sorted(points, ids, num_buckets)
+    g = -(-n // block)
+    if g * block != n:
+        pad = g * block - n
+        points = jnp.concatenate([points, identity(pad)], axis=-1)
+        ids = jnp.concatenate(
+            [ids, jnp.full((pad,), num_buckets, ids.dtype)])
+    pts4 = points.reshape(4, W, g, block)
+    ids2 = ids.reshape(g, block)
+
+    buckets0 = identity(num_buckets + 1)
+    ident_g = identity(g)
+
+    def body(j, carry):
+        buckets, acc, acc_id, pre, pre_id, have_pre = carry
+        cur = jax.lax.dynamic_index_in_dim(pts4, j, axis=3, keepdims=False)
+        cid = jax.lax.dynamic_index_in_dim(ids2, j, axis=1, keepdims=False)
+        same = cid == acc_id
+        # interior-run emission: id changed and the leading run was already
+        # captured -> acc is a completed interior run
+        emit = (~same) & have_pre
+        eidx = jnp.where(emit, acc_id, num_buckets)
+        buckets = buckets.at[..., eidx].set(
+            pselect(emit, acc, identity(g)))
+        # capture the leading run at its first id change
+        newly = (~same) & (~have_pre)
+        pre = pselect(newly, acc, pre)
+        pre_id = jnp.where(newly, acc_id, pre_id)
+        have_pre = have_pre | newly
+        acc = pselect(same, padd(acc, cur), cur)
+        return buckets, acc, cid, pre, pre_id, have_pre
+
+    acc0 = pts4[..., 0]
+    carry = (buckets0, acc0, ids2[:, 0], ident_g,
+             jnp.zeros((g,), ids.dtype), jnp.zeros((g,), bool))
+    buckets, acc, acc_id, pre, pre_id, have_pre = jax.lax.fori_loop(
+        1, block, body, carry)
+
+    # boundary array: per chunk, (leading partial, trailing partial); a
+    # single-run chunk contributes (whole sum, identity-with-same-id)
+    pre_f = pselect(have_pre, pre, acc)
+    pre_id_f = jnp.where(have_pre, pre_id, acc_id)
+    suf_f = pselect(have_pre, acc, ident_g)
+    suf_id_f = jnp.where(have_pre, acc_id, pre_id_f)
+    boundary = jnp.stack([pre_f, suf_f], axis=-1).reshape(4, W, 2 * g)
+    bids = jnp.stack([pre_id_f, suf_id_f], axis=-1).reshape(2 * g)
+    bbuckets = _segmented_sum_sorted(boundary, bids, num_buckets)
+    # disjoint coverage: identity-padded slots make this exact
+    return padd(buckets, bbuckets)
+
+
+def _bucket_weighted_sum_blocked(buckets, block: int = 64):
+    """sum_b (b+1) * buckets[b] ([4, W, B]) with a compile-once body.
+
+    View B as G2 chunks of `block`: one reverse fori_loop computes, for
+    every chunk in parallel, S_q = sum_r B_{q,r} and
+    T_q = sum_r (r+1) B_{q,r} (suffix-accumulate: 2 padds per step).  Then
+      total = block * sum_q q*S_q + sum_q T_q
+    where sum_q q*S_q = [suffix-scan weighted sum over the G2 chunk sums]
+    - sum_q S_q -- both tiny.  ~2B curve adds total versus the suffix
+    scan's B*log(B), one fixed-shape loop body.
+    """
+    b = buckets.shape[-1]
+    if b <= 2 * block or (block & (block - 1)):
+        return _bucket_weighted_sum(buckets)
+    g2 = -(-b // block)
+    if g2 * block != b:
+        buckets = jnp.concatenate(
+            [buckets, identity(g2 * block - b)], axis=-1)
+    bk = buckets.reshape(4, W, g2, block)
+
+    def body(i, carry):
+        suf, tsum = carry
+        j = block - 1 - i
+        cur = jax.lax.dynamic_index_in_dim(bk, j, axis=3, keepdims=False)
+        suf = padd(suf, cur)
+        tsum = padd(tsum, suf)
+        return suf, tsum
+
+    suf, tsum = jax.lax.fori_loop(
+        0, block, body, (identity(g2), identity(g2)))
+    # suf = S (chunk sums), tsum = T (intra-chunk weighted sums)
+    w1 = _bucket_weighted_sum(suf)          # sum_q (q+1) S_q, tiny
+    s_tot = tree_sum(suf)
+    t_tot = tree_sum(tsum)
+    qs = padd(w1, pneg(s_tot))              # sum_q q * S_q
+    for _ in range(block.bit_length() - 1):  # * block (power of two)
+        qs = pdbl(qs)
+    return padd(qs, t_tot)
+
+
 def _bucket_weighted_sum(buckets):
     """sum_b (b+1) * buckets[b] via suffix scan + tree sum ([4, W, B]).
 
@@ -283,17 +402,26 @@ def _bucket_weighted_sum(buckets):
     return tree_sum(x)
 
 
-# Bucket reduction strategy: "merge" = work-efficient pair-merge tree
-# (~n curve adds; default), "scan" = the round-1 segmented Hillis-Steele
-# scan (rounds*n adds; kept as the parity oracle).  Read at import time;
-# tests exercise both implementations directly.
-MSM_REDUCE = os.environ.get("LASSO_TPU_MSM_REDUCE", "merge")
+# Bucket reduction strategy (default picked from round-5 TPU measurement,
+# BASELINE.md):
+#   "block" -- blocked segmented reduction: ~n curve adds in a compile-once
+#       fori_loop body.  31.1M pts/s at 2^20/16-bit on v5e (7.2x "scan").
+#   "scan"  -- segmented Hillis-Steele scan (rounds*n adds): 4.33M pts/s;
+#       compile-cheap; kept as the parity oracle.
+#   "merge" -- work-efficient pair-merge tree: same O(n) adds as "block"
+#       but ~log(n) unrolled shrinking-shape curve-add subgraphs; its XLA
+#       compile DID NOT FINISH in 60 min at n=2^20 on this backend (the
+#       round-4 driver bench timeout).  Kept for the parity tests only.
+# Read at import time; tests exercise all implementations directly.
+MSM_REDUCE = os.environ.get("LASSO_TPU_MSM_REDUCE", "block")
 
 
 def _reduce_fns():
     if MSM_REDUCE == "scan":
         return _segmented_sum_sorted, _bucket_weighted_sum
-    return _segmented_sum_merge, _bucket_weighted_sum_merge
+    if MSM_REDUCE == "merge":
+        return _segmented_sum_merge, _bucket_weighted_sum_merge
+    return _segmented_sum_blocked, _bucket_weighted_sum_blocked
 
 
 @functools.partial(jax.jit, static_argnames=("c", "num_windows"))
@@ -538,15 +666,15 @@ def msm_batch_device(points, scalars_mont_rows, modulus_bits: int = 253,
     rows, n, _ = scalars_mont_rows.shape
     if n == 0 or rows == 0:
         return identity(1, (rows,))
-    if n > MSM_BATCH_COL_MAX and n % MSM_BATCH_COL_MAX == 0:
-        k = n // MSM_BATCH_COL_MAX
+    if n > MSM_BATCH_COL_MAX:
+        # chunk unconditionally (Pippenger is additive over any column
+        # partition); the ragged tail chunk just compiles one extra width
         partials = [
             msm_batch_device(
-                points[..., i * MSM_BATCH_COL_MAX:(i + 1) * MSM_BATCH_COL_MAX],
-                scalars_mont_rows[:, i * MSM_BATCH_COL_MAX:
-                                  (i + 1) * MSM_BATCH_COL_MAX],
+                points[..., start:start + MSM_BATCH_COL_MAX],
+                scalars_mont_rows[:, start:start + MSM_BATCH_COL_MAX],
                 modulus_bits, row_chunk)
-            for i in range(k)
+            for start in range(0, n, MSM_BATCH_COL_MAX)
         ]
         # [rows, 4, W, k] -> tree of padds -> [rows, 4, W, 1]
         stacked = jnp.concatenate(

@@ -103,6 +103,7 @@ class BatchedGrandProductCircuit:
         self._leaves = inputs
         self._leaves_fn = leaves_fn
         self._stored: dict[int, jnp.ndarray] = {}
+        self._memo: tuple[int, jnp.ndarray] | None = None
         cur = inputs if leaves_fn is None else leaves_fn(None)
         t = 0
         while cur.shape[1] > 2:
@@ -122,9 +123,16 @@ class BatchedGrandProductCircuit:
         got = self._stored.get(t)
         if got is not None:
             return got
+        if self._memo is not None and self._memo[0] == t:
+            return self._memo[1]
         cur = self.layer(0)
         for _ in range(t):
             cur = _layer_product(cur)
+        # memoize the most recent recompute: the argument fetches BOTH
+        # halves of each layer back-to-back, and without this each fetch
+        # would redo the full product chain from the leaves (~4n multiplies
+        # per layer instead of ~2n, with the leaves materialized twice)
+        self._memo = (t, cur)
         return cur
 
     def layer_half(self, t: int, side: int) -> jnp.ndarray:
@@ -156,6 +164,7 @@ class BatchedGrandProductCircuit:
         self._leaves = None
         self._leaves_fn = None
         self._stored = {}
+        self._memo = None
 
     def evaluate(self) -> list[int]:
         """Root products, one per instance (host ints)."""

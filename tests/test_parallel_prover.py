@@ -54,7 +54,13 @@ def test_sharded_sumcheck_proof_identical(mesh):
     assert r_v == r_ref
 
 
-def test_sharded_e2e_proof_bytes_identical(mesh):
+@pytest.mark.parametrize("c,m,s", [
+    (4, 16, 16),     # toy: one sharded round, degenerate L-folds
+    (2, 64, 1024),   # wide: multi-round sharded sumchecks, multi-layer
+                     # sharded GP trees, non-degenerate sharded L-folds
+                     # (VERDICT r4 item 4)
+])
+def test_sharded_e2e_proof_bytes_identical(mesh, c, m, s):
     """Full sharded prove (commit + primary sumcheck + openings + memory
     checking) on the 8-device CPU mesh: byte-identical proof AND commitment
     vs the single-chip prover, and accepted by the standard verifier."""
@@ -68,8 +74,7 @@ def test_sharded_e2e_proof_bytes_identical(mesh):
     from lasso_tpu.utils.fixtures import gen_indices, gen_random_point
     from lasso_tpu.utils.serialize import serialize_commitment, serialize_proof
 
-    c, m, s = 4, 16, 16
-    log_m, log_s = 4, 4
+    log_m, log_s = (m - 1).bit_length(), (s - 1).bit_length()
     strategy = get_strategy("and", c, m)
     nz = gen_indices(s, m, c)
     r = gen_random_point(log_s)
