@@ -149,9 +149,11 @@ def main():
                     help="JSON file of measured single-chip phase seconds")
     args = ap.parse_args()
 
-    # measured single-chip phase seconds (profile_flagship.py at the given
-    # shape; see BASELINE.md round-5 per-phase table).  Defaults: s=2^24
-    # halo2 shape, round-5 measurement.
+    # Single-chip phase seconds: pass --profile with a JSON dict measured
+    # by scripts/profile_flagship.py at your shape.  The built-in defaults
+    # are a PLACEHOLDER breakdown of the round-4 s=2^24 warm prove
+    # (28.76 s total, split by the r4 span ratios) until the round-5
+    # profile lands in BASELINE.md.
     t1 = {
         "densify": 0.45,
         "commit": 9.0,

@@ -83,16 +83,3 @@ def test_wrong_eq_point_rejected():
     r_bad[0] = (r_bad[0] + 1) % (2**252)
     with pytest.raises((LassoError, AssertionError)):
         proof.verify(commitment, r_bad, gens, ProofTranscript(b"example"))
-
-
-def test_gp_recompute_threshold_proof_bytes_identical(monkeypatch):
-    """Force the leaf-recompute branch (LASSO_TPU_GP_RECOMPUTE_MIN=1) that
-    normally only fires at s=2^23+ and check the proof bytes are identical
-    to the resident path (VERDICT r4 item 7; reference:
-    src/lasso/memory_checking.rs:236-310 — same fingerprints, one layout)."""
-    from lasso_tpu.utils.serialize import serialize_proof
-
-    proof_resident, _, _, _ = run_e2e("and", 2, 16, 64)
-    monkeypatch.setenv("LASSO_TPU_GP_RECOMPUTE_MIN", "1")
-    proof_recompute, _, _, _ = run_e2e("and", 2, 16, 64)
-    assert serialize_proof(proof_recompute) == serialize_proof(proof_resident)
