@@ -306,11 +306,13 @@ class HashLayerProof:
             raise LassoError("final fingerprint mismatch")
 
     def verify(self, rand_mem, rand_ops, grand_product_claims, comm, gens,
-               comm_derefs, r_hash, r_multiset_check, strategy, transcript):
+               comm_derefs, r_hash, r_multiset_check, strategy, transcript,
+               deferred=None):
         transcript.append_protocol_name(HashLayerProof.PROTOCOL_NAME)
 
         self.proof_derefs.verify(
-            rand_ops, self.eval_derefs, gens.gens_derefs, comm_derefs, transcript)
+            rand_ops, self.eval_derefs, gens.gens_derefs, comm_derefs,
+            transcript, deferred=deferred)
 
         evals_ops = list(self.eval_dim) + list(self.eval_read)
         evals_ops += [0] * (_next_pow2(len(evals_ops)) - len(evals_ops))
@@ -325,7 +327,8 @@ class HashLayerProof:
         transcript.append_scalar(b"joint_claim_eval_ops", joint_claim_eval_ops)
         self.proof_ops.verify_plain(
             gens.gens_combined_l_variate, transcript, r_joint_ops,
-            joint_claim_eval_ops, comm.l_variate_polys_commitment)
+            joint_claim_eval_ops, comm.l_variate_polys_commitment,
+            deferred=deferred)
 
         transcript.append_scalars(b"claim_evals_mem", self.eval_final)
         challenges_mem = transcript.challenge_vector(
@@ -339,7 +342,8 @@ class HashLayerProof:
         transcript.append_scalar(b"joint_claim_eval_mem", joint_claim_eval_mem)
         self.proof_mem.verify_plain(
             gens.gens_combined_log_m_variate, transcript, r_joint_mem,
-            joint_claim_eval_mem, comm.log_m_variate_polys_commitment)
+            joint_claim_eval_mem, comm.log_m_variate_polys_commitment,
+            deferred=deferred)
 
         init_addr = identity_poly_evaluate(rand_mem)
         for i, claims in enumerate(grand_product_claims):
@@ -374,7 +378,7 @@ class MemoryCheckingProof:
         return MemoryCheckingProof(proof_prod_layer, proof_hash_layer)
 
     def verify(self, comm, comm_derefs, gens, r_mem_check, s, strategy,
-               transcript) -> None:
+               transcript, deferred=None) -> None:
         transcript.append_protocol_name(MemoryCheckingProof.PROTOCOL_NAME)
 
         r_hash, r_multiset_check = r_mem_check
@@ -393,4 +397,5 @@ class MemoryCheckingProof:
 
         self.proof_hash_layer.verify(
             rand_mem, rand_ops, claims, comm, gens, comm_derefs,
-            r_hash, r_multiset_check, strategy, transcript)
+            r_hash, r_multiset_check, strategy, transcript,
+            deferred=deferred)

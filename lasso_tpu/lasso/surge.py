@@ -160,12 +160,21 @@ class SparsePolynomialEvaluationProof:
         if eq_eval * g_eval % Fr.p != claim_last:
             raise LassoError("primary sumcheck final check failed")
 
+        # One accumulator collects every opening's final Sigma-protocol
+        # check (and its basis MSM); resolve() below runs them as a single
+        # randomly-weighted batched check -- ONE device round trip for the
+        # whole verify instead of one per opening (poly/deferred.py).
+        from lasso_tpu.poly.deferred import DeferredOpeningChecks
+        deferred = DeferredOpeningChecks()
+
         self.primary_sumcheck.proof_derefs.verify(
             r_z, self.primary_sumcheck.eval_derefs, gens.gens_derefs,
-            self.comm_derefs, transcript)
+            self.comm_derefs, transcript, deferred=deferred)
 
         r_mem_check = transcript.challenge_vector(b"challenge_r_hash", 2)
         self.memory_check.verify(
             commitment, self.comm_derefs, gens,
             (r_mem_check[0], r_mem_check[1]), commitment.s, self.strategy,
-            transcript)
+            transcript, deferred=deferred)
+
+        deferred.resolve()

@@ -576,6 +576,14 @@ def max_scalar_bits(scalar_int_limbs) -> int:
 # verifier-side recombinations all land here; throughput MSMs stay on device.
 MSM_HOST_MAX = int(os.environ.get("LASSO_TPU_MSM_HOST_MAX", "256"))
 
+# Verifier C_LZ row combinations (poly/hyrax.py) are transcript-blocking, so
+# each one routed to the device costs a full tunnel round trip mid-verify.
+# The native host Pippenger does 8k points in ~150-300 ms single-core, which
+# beats the measured per-dispatch latency at every benchmarked shape
+# (s <= 2^24 => row extent <= 2^13).
+VERIFY_CLZ_HOST_MAX = int(
+    os.environ.get("LASSO_TPU_VERIFY_CLZ_HOST_MAX", "8192"))
+
 
 def msm_device(points, scalars_mont, modulus_bits: int = 253,
                full_width: bool = False):

@@ -111,18 +111,20 @@ class PolyEvalProof:
         return PolyEvalProof(proof), c_zr
 
     def verify(self, gens: PolyCommitmentGens, transcript, r: list[int],
-               c_zr: hostcurve.Point, comm: PolyCommitment) -> None:
+               c_zr: hostcurve.Point, comm: PolyCommitment,
+               deferred=None) -> None:
         transcript.append_protocol_name(PolyEvalProof.PROTOCOL_NAME)
         left, _right = factored_lens(len(r))
         l_ints = eq_evals_host(r[:left])
         r_ints = eq_evals_host(r[left:])
 
-        from lasso_tpu.ops.msm import MSM_HOST_MAX
-        if len(comm.C) <= MSM_HOST_MAX:
-            # comm.C are host points already; the verifier's MSMs are tiny
-            # and latency-bound -- routing them through the device costs two
-            # tunnel transfers for arithmetic the native host Pippenger does
-            # in microseconds
+        # C_LZ is appended to the transcript (as Cx, inside the dot-product
+        # verify), so unlike g_hat it can NOT be deferred -- it must be a
+        # concrete point before the challenge stream continues.  Routing it
+        # to the native host Pippenger avoids a per-opening device round
+        # trip; only genuinely large row extents go to the device.
+        from lasso_tpu.ops.msm import MSM_HOST_MAX, VERIFY_CLZ_HOST_MAX
+        if len(comm.C) <= max(MSM_HOST_MAX, VERIFY_CLZ_HOST_MAX):
             c_lz = hostcurve.msm_host(comm.C, l_ints)
         else:
             from lasso_tpu.curve.jcurve import from_host_points
@@ -132,9 +134,10 @@ class PolyEvalProof:
             c_lz = to_host_point(
                 msm_device(c_dev, JFr.encode_ints(l_ints), full_width=True))
 
-        self.proof.verify(len(r_ints), gens.gens, transcript, r_ints, c_lz, c_zr)
+        self.proof.verify(len(r_ints), gens.gens, transcript, r_ints, c_lz,
+                          c_zr, deferred=deferred)
 
     def verify_plain(self, gens: PolyCommitmentGens, transcript, r: list[int],
-                     zr: int, comm: PolyCommitment) -> None:
+                     zr: int, comm: PolyCommitment, deferred=None) -> None:
         c_zr = commit_scalar(zr, 0, gens.gens.gens_1)
-        self.verify(gens, transcript, r, c_zr, comm)
+        self.verify(gens, transcript, r, c_zr, comm, deferred=deferred)

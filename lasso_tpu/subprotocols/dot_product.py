@@ -286,7 +286,8 @@ class DotProductProofLog:
         return DotProductProofLog(bullet_proof, delta, beta, z1, z2), cx, cy
 
     def verify(self, n: int, gens: DotProductProofGens, transcript,
-               a: list[int], cx: hostcurve.Point, cy: hostcurve.Point) -> None:
+               a: list[int], cx: hostcurve.Point, cy: hostcurve.Point,
+               deferred=None) -> None:
         if gens.n != n:
             raise InvalidInputLength(gens.n, n)
         if len(a) != n:
@@ -298,16 +299,50 @@ class DotProductProofLog:
         transcript.append_scalars(b"a", a)
 
         gamma = cx.add(cy)
-        g_hat, gamma_hat, a_hat = self.bullet_reduction_proof.verify(
-            n, a, transcript, gamma, gens.gens_n.G[: gens.n],
-            gens_n=gens.gens_n)
+        if deferred is None:
+            g_hat, gamma_hat, a_hat = self.bullet_reduction_proof.verify(
+                n, a, transcript, gamma, gens.gens_n.G[: gens.n],
+                gens_n=gens.gens_n)
+
+            transcript.append_point(b"delta", self.delta)
+            transcript.append_point(b"beta", self.beta)
+            c = transcript.challenge_scalar(b"c")
+
+            lhs = gamma_hat.mul(c).add(self.beta).mul(a_hat).add(self.delta)
+            rhs = g_hat.add(gens.gens_1.G[0].mul(a_hat)).mul(self.z1).add(
+                gens.gens_1.h.mul(self.z2))
+            if not lhs == rhs:
+                raise LassoError("log dot product proof rejected")
+            return
+
+        # Deferred batch path (poly/deferred.py): nothing below this point
+        # feeds the transcript except proof data, so the final check
+        #   gamma_hat*(c*a_hat) + beta*a_hat + delta
+        #     - g_hat*z1 - G1*(a_hat*z1) - h*z2 == 0
+        # (gamma_hat expanded as <L,u_sq> + <R,u_inv_sq> + gamma) is queued
+        # with a random weight and the g_hat basis MSM left unevaluated.
+        p = Fr.p
+        u_sq, u_inv_sq, s = self.bullet_reduction_proof.verification_scalars(
+            n, transcript)
+        a_hat = 0
+        for x, y in zip(a, s):
+            a_hat += x * y
+        a_hat %= p
 
         transcript.append_point(b"delta", self.delta)
         transcript.append_point(b"beta", self.beta)
         c = transcript.challenge_scalar(b"c")
 
-        lhs = gamma_hat.mul(c).add(self.beta).mul(a_hat).add(self.delta)
-        rhs = g_hat.add(gens.gens_1.G[0].mul(a_hat)).mul(self.z1).add(
-            gens.gens_1.h.mul(self.z2))
-        if not lhs == rhs:
-            raise LassoError("log dot product proof rejected")
+        w = deferred.weight()
+        ca = c * a_hat % p
+        bp = self.bullet_reduction_proof
+        pts = (list(bp.L_vec) + list(bp.R_vec)
+               + [cx, cy, self.beta, self.delta,
+                  gens.gens_1.G[0], gens.gens_1.h])
+        sc = ([u * ca % p for u in u_sq]
+              + [u * ca % p for u in u_inv_sq]
+              + [ca, ca, a_hat, 1,
+                 (p - a_hat * self.z1 % p) % p, (p - self.z2 % p) % p])
+        deferred.add_terms(pts, [w * x % p for x in sc])
+        deferred.add_gens_msm(
+            gens.gens_n, n, s, w * (p - self.z1 % p) % p)

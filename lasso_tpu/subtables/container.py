@@ -177,7 +177,8 @@ class CombinedTableEvalProof:
         return CombinedTableEvalProof(proof)
 
     def verify(self, r: list[int], evals: list[int], gens: PolyCommitmentGens,
-               comm: CombinedTableCommitment, transcript) -> None:
+               comm: CombinedTableCommitment, transcript,
+               deferred=None) -> None:
         transcript.append_protocol_name(CombinedTableEvalProof.PROTOCOL_NAME)
         evals = list(evals) + [0] * (_next_pow2(len(evals)) - len(evals))
 
@@ -195,4 +196,5 @@ class CombinedTableEvalProof:
         transcript.append_scalar(b"joint_claim_eval", joint_eval)
 
         self.proof_table_eval.verify_plain(
-            gens, transcript, r_joint, joint_eval, comm.comm_ops_val)
+            gens, transcript, r_joint, joint_eval, comm.comm_ops_val,
+            deferred=deferred)
